@@ -1,0 +1,73 @@
+"""SparkSession factory with the engine's scale-oriented defaults.
+
+Defaults chosen for a multi-executor cluster reading ~100 TB:
+  - AQE on (runtime re-plan, skew-join splitting, partition coalescing)
+  - Arrow on (all our Python stages are pandas/Arrow-vectorized)
+  - explicit shuffle-partition count (callers override per deployment)
+
+In the sandbox we run local[N]; on a real cluster the same code is
+submitted via `spark-submit --py-files crawl4ai_spark.zip job.py`.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "crawl4ai-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or "local[{}]".format(
+        os.environ.get("SPARK_GRAFT_CPUS", "32")
+    )
+    if shuffle_partitions is None:
+        # local[N] -> N shuffle partitions; clusters pass an explicit value
+        # sized so each shuffle partition is ~128-256 MB at the target SF.
+        digits = "".join(c for c in master if c.isdigit())
+        shuffle_partitions = int(digits) if digits else 200
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    _ship_package(spark)
+    return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Distribute this package to executor Python workers.
+
+    Equivalent of `spark-submit --py-files crawl4ai_spark.zip` when the
+    session is built programmatically: our pandas UDFs close over module
+    functions, so workers must be able to import `crawl4ai_spark`.
+    Idempotent per session.
+    """
+    if spark.conf.get("crawl4ai_spark.shipped", "no") == "yes":
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    parent = os.path.dirname(pkg_dir)
+    zip_base = os.path.join(tempfile.mkdtemp(prefix="c4as_pyfiles_"), "crawl4ai_spark")
+    zip_path = shutil.make_archive(zip_base, "zip", root_dir=parent, base_dir="crawl4ai_spark")
+    spark.sparkContext.addPyFile(zip_path)
+    spark.conf.set("crawl4ai_spark.shipped", "yes")
