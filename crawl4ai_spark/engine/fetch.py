@@ -1,0 +1,104 @@
+"""Fetch stage — frontier rows -> (html, status_code).
+
+The reference's fetch is aiohttp GET with charset/redirect handling
+(/root/reference/crawl4ai/async_crawler_strategy.py:2289-2362). In a
+cluster engine the fetcher is pluggable:
+
+  CorpusFetcher  joins the frontier against a synthetic/warehoused web
+                 corpus table on canonical URL — the deterministic path
+                 used for tests, benchmarks, and re-crawls of archived
+                 HTML (Common-Crawl-style WARC-to-table workflows).
+  HttpFetcher    real HTTP via stdlib urllib inside mapInPandas, one
+                 Arrow batch per partition; per-host batching relies on
+                 the politeness window having already capped per-host
+                 rows. Network-off environments get the plumbing + a
+                 deterministic failure row, never a crash.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class CorpusFetcher:
+    """Fetch = left join frontier ⟕ corpus(url_norm -> html, status).
+
+    URLs missing from the corpus become status 404 / empty html —
+    matching a dead link on the live web. Join strategy is left to
+    AQE: at test scale the corpus broadcasts; at archive scale this is
+    a sort-merge join that benefits from bucketing the corpus table by
+    xxhash64(url_norm) so re-crawl rounds co-locate with frontier
+    partitioning and skip the corpus-side shuffle.
+    """
+
+    def __init__(self, corpus: DataFrame):
+        self.corpus = corpus.select(
+            F.col("url_norm").alias("__c_url"),
+            F.col("html").alias("html"),
+            F.col("status_code").alias("status_code"),
+            F.col("fetch_ms").alias("fetch_ms"),
+        )
+
+    def fetch(self, frontier: DataFrame) -> DataFrame:
+        out = frontier.join(
+            self.corpus, frontier["url_norm"] == self.corpus["__c_url"], "left"
+        ).drop("__c_url")
+        return out.withColumn(
+            "status_code", F.coalesce(F.col("status_code"), F.lit(404))
+        ).withColumn("html", F.coalesce(F.col("html"), F.lit(""))).withColumn(
+            "fetch_ms", F.coalesce(F.col("fetch_ms"), F.lit(0))
+        ).withColumn("success", F.col("status_code") == 200)
+
+
+_HTTP_SCHEMA_EXTRA = [
+    T.StructField("html", T.StringType()),
+    T.StructField("status_code", T.IntegerType()),
+    T.StructField("fetch_ms", T.IntegerType()),
+]
+
+
+class HttpFetcher:
+    """Real HTTP GET per frontier row, Arrow-batched (stdlib urllib).
+
+    timeout per request; errors -> status 0. This is the scale path for
+    live crawling; in the sandbox it exists for API completeness and is
+    exercised only against file:// fixtures in tests.
+    """
+
+    def __init__(self, timeout_s: float = 10.0, user_agent: str = "crawl4ai-spark/0.1"):
+        self.timeout_s = timeout_s
+        self.user_agent = user_agent
+
+    def fetch(self, frontier: DataFrame) -> DataFrame:
+        timeout, ua = self.timeout_s, self.user_agent
+        schema = T.StructType(list(frontier.schema.fields) + _HTTP_SCHEMA_EXTRA)
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import time
+            import urllib.request
+
+            for pdf in batches:
+                htmls, statuses, ms = [], [], []
+                for u in pdf["url_norm"]:
+                    t0 = time.monotonic()
+                    try:
+                        req = urllib.request.Request(u, headers={"User-Agent": ua})
+                        with urllib.request.urlopen(req, timeout=timeout) as resp:
+                            body = resp.read(8 * 1024 * 1024)
+                            htmls.append(body.decode("utf-8", errors="replace"))
+                            statuses.append(int(resp.status))
+                    except Exception:
+                        htmls.append("")
+                        statuses.append(0)
+                    ms.append(int((time.monotonic() - t0) * 1000))
+                out = pdf.copy()
+                out["html"], out["status_code"], out["fetch_ms"] = htmls, statuses, ms
+                yield out
+
+        fetched = frontier.mapInPandas(run, schema)
+        return fetched.withColumn("success", F.col("status_code") == 200)

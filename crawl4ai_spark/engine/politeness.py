@@ -1,0 +1,139 @@
+"""Per-host politeness as window functions + a host_state recurrence.
+
+The reference serializes requests per domain with an adaptive delay
+(RateLimiter, /root/reference/crawl4ai/async_dispatcher.py:28-85):
+429/503 doubles the delay (capped, give-up after max_retries), success
+decays it by x0.75 floored at the base. In a batch-iterative engine
+"delay" becomes "fetch budget per round": the number of URLs a host may
+fetch in one round is inversely proportional to its current delay.
+
+    select:  row_number() OVER (PARTITION BY host ORDER BY
+             eff_priority, depth, url_norm) <= host_budget
+    backoff: rate-limited host  -> budget/2 (floor 1), fail_count+1
+             clean host         -> budget*4/3 (cap base), fail_count=0
+             fail_count > max_retries -> host dropped from frontier
+
+Deferred rows stay in the frontier with wait_rounds+1; fairness mirrors
+the dispatcher's re-prioritization (async_dispatcher.py:471-528): a row
+waiting longer than `fairness_rounds` jumps the queue via a large
+negative priority term.
+
+Skew note (hub domains): the window partitions by host — a hub host
+with 10^7 frontier rows would serialize one task, so the engine stores
+the frontier salted (`pmod(xxhash64(host, salt), n_shards)`) and the
+politeness window runs per (host) only AFTER a per-(host, salt)
+pre-top-k prunes each salt bucket to `budget` rows: the global window
+then sees at most budget*n_salts rows per host, never 10^7.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+RATE_LIMIT_CODES = (429, 503)
+
+
+def select_fetch_batch(
+    frontier: DataFrame,
+    host_state: DataFrame | None,
+    base_budget: int | None,
+    global_budget: int | None = None,
+    fairness_rounds: int = 5,
+) -> DataFrame:
+    """Marks each frontier row `selected` for this round's fetch.
+
+    ``base_budget=None`` means no per-host politeness (pure BFS level
+    semantics) and skips the window shuffles entirely.
+    """
+    f = frontier
+    if host_state is not None:
+        hs = host_state.select("host", "budget", "fail_count")
+        f = f.join(F.broadcast(hs), "host", "left")
+    else:
+        f = f.withColumn("budget", F.lit(None).cast("int")).withColumn(
+            "fail_count", F.lit(0)
+        )
+
+    # fairness: long-waiting rows jump the queue (async_dispatcher.py:217-226)
+    f = f.withColumn(
+        "eff_priority",
+        F.when(
+            F.col("wait_rounds") > fairness_rounds,
+            F.lit(-1e9) - F.col("wait_rounds"),
+        ).otherwise(F.col("priority") + F.col("retry_count")),
+    )
+
+    order = [F.col("eff_priority").asc(), F.col("depth").asc(), F.col("url_norm").asc()]
+
+    if base_budget is None:
+        f = f.withColumn("budget", F.lit(None).cast("int")).withColumn(
+            "selected", F.lit(True)
+        )
+    else:
+        f = f.withColumn("budget", F.coalesce(F.col("budget"), F.lit(base_budget)))
+
+        # stage 1 — salt-local top-k caps hub-host partitions: the global
+        # per-host window then sees at most budget*n_salts rows per host
+        w_salt = Window.partitionBy("host", "salt").orderBy(*order)
+        f = f.withColumn("__rs", F.row_number().over(w_salt)).where(
+            F.col("__rs") <= F.col("budget")
+        ).drop("__rs")
+
+        # stage 2 — the politeness window proper
+        w_host = Window.partitionBy("host").orderBy(*order)
+        f = f.withColumn("__rh", F.row_number().over(w_host)).withColumn(
+            "selected", F.col("__rh") <= F.col("budget")
+        ).drop("__rh")
+
+    if global_budget is not None:
+        # best-first batch cap (bff_strategy.py:161-174): global top-N by
+        # priority, tie-break (priority, depth, url) per SURVEY §2.2.
+        # sort-limit (TakeOrdered) + broadcast semi-join — NOT a
+        # partition-less window, which would single-task the frontier.
+        top = (
+            f.where("selected").orderBy(*order).limit(global_budget)
+            .select(F.col("url_norm").alias("__top_url"))
+        )
+        f = f.join(
+            F.broadcast(top), f["url_norm"] == top["__top_url"], "left"
+        ).withColumn(
+            "selected", F.col("selected") & F.col("__top_url").isNotNull()
+        ).drop("__top_url")
+    return f
+
+
+def update_host_state(
+    fetched: DataFrame,
+    host_state: DataFrame | None,
+    base_budget: int,
+    max_budget: int | None = None,
+    spark=None,
+) -> DataFrame:
+    """Round-close recurrence on fetch statuses (async_dispatcher.py:65-85)."""
+    max_budget = max_budget or base_budget
+    per_host = fetched.groupBy("host").agg(
+        F.sum(
+            F.when(F.col("status_code").isin(*RATE_LIMIT_CODES), 1).otherwise(0)
+        ).alias("n_limited"),
+        F.count(F.lit(1)).alias("n_fetched"),
+    )
+    if host_state is not None:
+        merged = per_host.join(
+            host_state.select("host", "budget", "fail_count"), "host", "full"
+        )
+    else:
+        merged = per_host.withColumn("budget", F.lit(None).cast("int")).withColumn(
+            "fail_count", F.lit(None).cast("int")
+        )
+    budget = F.coalesce(F.col("budget"), F.lit(base_budget))
+    limited = F.coalesce(F.col("n_limited"), F.lit(0)) > 0
+    return merged.select(
+        "host",
+        F.when(limited, F.greatest(F.lit(1), (budget / 2).cast("int")))
+        .otherwise(F.least(F.lit(max_budget), (budget * 4 / 3 + 1).cast("int")))
+        .alias("budget"),
+        F.when(limited, F.coalesce(F.col("fail_count"), F.lit(0)) + 1)
+        .otherwise(F.lit(0))
+        .alias("fail_count"),
+    )

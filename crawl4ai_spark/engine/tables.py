@@ -1,0 +1,155 @@
+"""Atomic snapshot tables — the engine's state layer.
+
+Production target is Iceberg (`MERGE INTO pages`, snapshot ids in a
+round manifest, partition pruning on round/host-hash); this module is a
+dependency-free stand-in with the same commit semantics so the engine
+code is connector-agnostic: a table is a directory of immutable parquet
+data dirs plus a JSON manifest that is swapped atomically
+(``os.replace``). Readers only ever see committed manifests, a killed
+writer leaves at worst orphan data dirs (never a torn table), and
+resume = read the last committed manifest — mirroring the reference's
+SQLite cache + adaptive-state JSON checkpointing
+(/root/reference/crawl4ai/async_database.py:227-248,
+adaptive_crawler.py:53-110) with Iceberg-style atomicity.
+
+Layout:
+    <warehouse>/<table>/manifest.json      {"version": k, "data": [relpaths]}
+    <warehouse>/<table>/d-<uuid>/...       immutable parquet dirs
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotTable:
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    # -- manifest ----------------------------------------------------------
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, "manifest.json")
+
+    def _read_manifest(self) -> dict:
+        try:
+            with open(self._manifest_path) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {"version": 0, "data": []}
+
+    def _commit(self, manifest: dict) -> None:
+        tmp = self._manifest_path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path)  # atomic commit point
+
+    @property
+    def version(self) -> int:
+        return self._read_manifest()["version"]
+
+    def exists(self) -> bool:
+        return bool(self._read_manifest()["data"])
+
+    # -- io ------------------------------------------------------------------
+    def _write_datadir(self, df: DataFrame) -> str:
+        rel = f"d-{uuid.uuid4().hex[:12]}"
+        df.write.mode("overwrite").parquet(os.path.join(self.path, rel))
+        return rel
+
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        m = self._read_manifest()
+        if not m["data"]:
+            return None
+        return spark.read.parquet(*[os.path.join(self.path, d) for d in m["data"]])
+
+    def overwrite(self, df: DataFrame) -> int:
+        """Replace table contents (new snapshot). Returns new version.
+
+        Old data dirs are NOT deleted here — the round checkpoint needs
+        them for exact rollback on resume; the engine vacuums dirs no
+        committed round references (Iceberg expire_snapshots analogue).
+        """
+        m = self._read_manifest()
+        rel = self._write_datadir(df)
+        m = {"version": m["version"] + 1, "data": [rel]}
+        self._commit(m)
+        return m["version"]
+
+    def vacuum(self, keep: set[str]) -> None:
+        keep = keep | set(self._read_manifest()["data"])
+        for d in os.listdir(self.path):
+            if d.startswith("d-") and d not in keep:
+                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+
+    def append(self, df: DataFrame) -> int:
+        """Append-only fast path (Iceberg AppendFiles): no rewrite."""
+        m = self._read_manifest()
+        rel = self._write_datadir(df)
+        m = {"version": m["version"] + 1, "data": m["data"] + [rel]}
+        self._commit(m)
+        return m["version"]
+
+    def merge_on_key(self, spark: SparkSession, df: DataFrame, key: str) -> int:
+        """Upsert semantics (Iceberg `MERGE INTO ... ON key`): new rows win.
+
+        Test-scale implementation rewrites the table; at 100 TB this is
+        a real MERGE with partition-level pruning — the engine only
+        calls it for dimension-sized tables (host_state, robots).
+        """
+        cur = self.read(spark)
+        if cur is None:
+            return self.overwrite(df)
+        merged = cur.join(df.select(key), key, "left_anti").unionByName(df)
+        # safe ordering: overwrite() writes the new data dir (reading the
+        # old dirs, still present) before the commit+cleanup
+        return self.overwrite(merged)
+
+    def rollback_to(self, version_data: list[str]) -> None:
+        self._commit({"version": self.version + 1, "data": version_data})
+
+    def snapshot_data(self) -> list[str]:
+        return list(self._read_manifest()["data"])
+
+
+class Warehouse:
+    """A directory of SnapshotTables plus the crawl round manifest."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def table(self, name: str) -> SnapshotTable:
+        return SnapshotTable(os.path.join(self.root, name))
+
+    # -- round manifest (checkpoint/resume unit) ---------------------------
+    @property
+    def _rounds_path(self) -> str:
+        return os.path.join(self.root, "round_manifest.json")
+
+    def read_rounds(self) -> list[dict]:
+        try:
+            with open(self._rounds_path) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return []
+
+    def commit_round(self, entry: dict) -> None:
+        rounds = self.read_rounds()
+        rounds = [r for r in rounds if r["round"] != entry["round"]]
+        rounds.append(dict(entry, committed=True))
+        rounds.sort(key=lambda r: r["round"])
+        tmp = self._rounds_path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(rounds, f)
+        os.replace(tmp, self._rounds_path)
+
+    def last_committed_round(self) -> int:
+        rounds = [r["round"] for r in self.read_rounds() if r.get("committed")]
+        return max(rounds) if rounds else -1

@@ -1,0 +1,181 @@
+"""URL filters as native boolean Column expressions.
+
+Each reference filter (/root/reference/crawl4ai/deep_crawling/filters.py)
+becomes a Catalyst predicate; FilterChain's AND-with-short-circuit
+(filters.py:69-116) is just `&` (Catalyst short-circuits and pushes
+predicates down to the scan). No Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import re
+from functools import reduce
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _url(col) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def filter_chain(*predicates: Column) -> Column:
+    """AND of filters (FilterChain.apply, filters.py:69-116)."""
+    return reduce(lambda a, b: a & b, predicates, F.lit(True))
+
+
+# -- URLPatternFilter (filters.py:119-255) ----------------------------------
+
+def url_pattern_filter(url, patterns: list[str] | str, reverse: bool = False) -> Column:
+    """Glob/regex pattern filter with the reference's categorization:
+    SUFFIX (*.html), PREFIX (/foo/* with path-boundary check), DOMAIN
+    (*.example.com), REGEX (^/$/\\d), PATH (general glob)."""
+    if isinstance(patterns, str):
+        patterns = [patterns]
+    u = _url(url)
+    suffixes: list[str] = []
+    prefixes: list[str] = []
+    domain_regexes: list[str] = []
+    path_regexes: list[str] = []
+    for p in patterns:
+        if p.startswith("^") or p.endswith("$") or "\\d" in p:
+            path_regexes.append(p)
+        elif p.count("*") == 1 and p.startswith("*."):
+            if "://" in p:
+                domain_regexes.append(p.replace("*.", r"[^/]+\."))
+            else:
+                suffixes.append(p[2:])
+        elif p.count("*") == 1 and p.endswith("/*"):
+            prefixes.append(p[:-2])
+        else:
+            g = p
+            if "**" in g:
+                g = g.replace("**", ".*")
+            g = re.sub(r"\{([^}]+)\}", lambda m: f'({"|".join(m.group(1).split(","))})', g)
+            path_regexes.append(fnmatch.translate(g))
+
+    preds: list[Column] = []
+    if suffixes:
+        # last path-ish token's extension: url minus query, token after
+        # last '/', after last '.' (filters.py:215-218)
+        no_q = F.substring_index(u, "?", 1)
+        last_seg = F.substring_index(no_q, "/", -1)
+        ext = F.substring_index(last_seg, ".", -1)
+        preds.append(ext.isin(suffixes))
+    for dr in domain_regexes:
+        # reference uses re.match (anchored at start), dots unescaped —
+        # keep semantics identical (filters.py:192, 224)
+        preds.append(u.rlike("^" + dr))
+    if prefixes:
+        no_q = F.substring_index(u, "?", 1)
+        for p in prefixes:
+            boundary = F.substring(no_q, len(p) + 1, 1)
+            preds.append(
+                no_q.startswith(p)
+                & ((F.length(no_q) == len(p)) | boundary.isin("/", "?", "#"))
+            )
+    for r in path_regexes:
+        preds.append(u.rlike(r))
+
+    result = reduce(lambda a, b: a | b, preds, F.lit(False))
+    return ~result if reverse else result
+
+
+# -- ContentTypeFilter (filters.py:258-421) ----------------------------------
+
+_EXT_MIME = {
+    # text/web
+    "html": "text/html", "htm": "text/html", "xhtml": "text/html",
+    "php": "text/html", "asp": "text/html", "aspx": "text/html",
+    "jsp": "text/html", "txt": "text/plain", "md": "text/markdown",
+    "css": "text/css", "csv": "text/csv", "xml": "application/xml",
+    "json": "application/json", "js": "application/javascript",
+    # documents
+    "pdf": "application/pdf", "doc": "application/msword",
+    "docx": "application/msword", "xls": "application/vnd.ms-excel",
+    "xlsx": "application/vnd.ms-excel", "ppt": "application/vnd.ms-powerpoint",
+    "pptx": "application/vnd.ms-powerpoint",
+    # images
+    "jpg": "image/jpeg", "jpeg": "image/jpeg", "png": "image/png",
+    "gif": "image/gif", "webp": "image/webp", "svg": "image/svg+xml",
+    "ico": "image/x-icon", "avif": "image/avif",
+    # av
+    "mp3": "audio/mpeg", "wav": "audio/wav", "ogg": "audio/ogg",
+    "mp4": "video/mp4", "webm": "video/webm", "avi": "video/x-msvideo",
+    "mov": "video/quicktime",
+    # archives
+    "zip": "application/zip", "gz": "application/gzip",
+    "tar": "application/x-tar", "rar": "application/vnd.rar",
+}
+
+
+def content_type_filter(url, allowed_types: list[str]) -> Column:
+    """Allow-list on extension-implied MIME; extensionless URLs pass
+    (filters.py:258-421)."""
+    allowed = {t.lower() for t in allowed_types}
+    exts = [e for e, m in _EXT_MIME.items() if m in allowed
+            or m.split("/")[0] in allowed]
+    u = _url(url)
+    no_q = F.substring_index(F.substring_index(u, "?", 1), "#", 1)
+    last_seg = F.substring_index(no_q, "/", -1)
+    has_ext = last_seg.contains(".")
+    ext = F.lower(F.substring_index(last_seg, ".", -1))
+    return ~has_ext | ext.isin(exts)
+
+
+# -- DomainFilter (filters.py:424-498) ----------------------------------------
+
+def domain_filter(host, allowed_domains: list[str] | None = None,
+                  blocked_domains: list[str] | None = None) -> Column:
+    """host == d OR host endswith '.d' against allow/block lists."""
+    h = F.lower(_url(host))
+
+    def matches(domains: list[str]) -> Column:
+        return reduce(
+            lambda a, d: a | (h == d.lower()) | h.endswith("." + d.lower()),
+            domains,
+            F.lit(False),
+        )
+
+    pred = F.lit(True)
+    if blocked_domains:
+        pred = pred & ~matches(blocked_domains)
+    if allowed_domains:
+        pred = pred & matches(allowed_domains)
+    return pred
+
+
+# -- SEOFilter (filters.py:576-687) -------------------------------------------
+
+def seo_quality_score(url, title, description, keywords: list[str] | None = None) -> Column:
+    """Head-quality score, pure column arithmetic. Components mirror the
+    reference's weighted checks: title length in [10,70] and keyword
+    presence, meta-description length in [50,160], URL quality penalties
+    (len>80, digit runs, query params, underscores)."""
+    u, t, d = _url(url), _url(title), _url(description)
+    tlen = F.length(F.coalesce(t, F.lit("")))
+    dlen = F.length(F.coalesce(d, F.lit("")))
+    score = F.lit(0.0)
+    score = score + F.when((tlen >= 10) & (tlen <= 70), 0.3).otherwise(0.0)
+    if keywords:
+        hit = reduce(
+            lambda a, k: a | F.lower(F.coalesce(t, F.lit(""))).contains(k.lower()),
+            keywords, F.lit(False),
+        )
+        score = score + F.when(hit, 0.2).otherwise(0.0)
+    else:
+        score = score + F.lit(0.2)
+    score = score + F.when((dlen >= 50) & (dlen <= 160), 0.2).otherwise(0.0)
+    penalty = (
+        F.when(F.length(u) > 80, 0.1).otherwise(0.0)
+        + F.when(u.rlike(r"\d{4,}"), 0.1).otherwise(0.0)
+        + F.when(u.contains("?"), 0.05).otherwise(0.0)
+        + F.when(u.contains("_"), 0.05).otherwise(0.0)
+    )
+    return (score + F.lit(0.3) - penalty).cast("double")
+
+
+def seo_filter(url, title, description, threshold: float = 0.65,
+               keywords: list[str] | None = None) -> Column:
+    return seo_quality_score(url, title, description, keywords) >= threshold

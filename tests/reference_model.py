@@ -1,0 +1,90 @@
+"""In-memory reference-semantics crawler used as a traversal oracle.
+
+A direct, sequential transcription of BFSDeepCrawlStrategy._arun_batch +
+link_discovery (/root/reference/crawl4ai/deep_crawling/bfs_strategy.py:
+68-192) and the best-first loop (bff_strategy.py:129-213) operating on
+an extracted corpus dict — NOT Spark. Tests assert the engine's
+per-depth crawled sets / seen set / parents equal this model's.
+"""
+
+from __future__ import annotations
+
+import math
+
+from crawl4ai_spark.extraction.html_parser import extract_page
+
+
+def build_web(pages: list[dict]) -> dict:
+    """corpus rows -> url_norm -> {status, links:[(url_norm, internal)], depth...}"""
+    from crawl4ai_spark.functions.urlnorm import normalize_url_for_deep_crawl
+
+    web = {}
+    for p in pages:
+        norm = normalize_url_for_deep_crawl(p["url"], p["url"])
+        r = extract_page(norm, p["html"])
+        web[norm] = {
+            "status": p["status_code"],
+            "links": [(l["url_norm"], l["internal"]) for l in r["links"]],
+        }
+    return web
+
+
+def reference_bfs(
+    web: dict,
+    seed: str,
+    max_depth: int,
+    max_pages: float = math.inf,
+    include_external: bool = False,
+    scorer=None,
+    score_threshold: float = -math.inf,
+):
+    """Returns (crawl_log, visited) where crawl_log rows are
+    (url, depth, parent, success) in crawl order."""
+    visited: set[str] = set()
+    current = [(seed, None)]
+    depths = {seed: 0}
+    log = []
+    pages_crawled = 0
+
+    while current:
+        if pages_crawled >= max_pages:
+            break
+        nxt = []
+        results = []
+        for url, parent in current:
+            page = web.get(url)
+            success = page is not None and page["status"] == 200
+            results.append((url, parent, success))
+            if success:
+                pages_crawled += 1
+        for url, parent, success in results:
+            depth = depths.get(url, 0)
+            log.append((url, depth, parent, success))
+            if not success:
+                continue
+            # link_discovery
+            next_depth = depth + 1
+            if next_depth > max_depth:
+                continue
+            remaining = max_pages - pages_crawled
+            if remaining <= 0:
+                continue
+            valid = []
+            for link_norm, internal in web[url]["links"]:
+                if not internal and not include_external:
+                    continue
+                if link_norm is None or link_norm in visited:
+                    continue
+                score = scorer(link_norm) if scorer else 0.0
+                if score < score_threshold:
+                    continue
+                visited.add(link_norm)
+                valid.append((link_norm, score))
+            if len(valid) > remaining:
+                valid.sort(key=lambda x: -x[1])
+                valid = valid[: int(remaining)]
+            for link_norm, score in valid:
+                nxt.append((link_norm, url))
+                depths[link_norm] = next_depth
+        current = nxt
+    return log, visited

@@ -1,0 +1,151 @@
+"""End-to-end engine tests vs the in-memory reference model.
+
+Traversal-order contract (SURVEY §2.2): equal per-depth crawled sets,
+equal URL-seen sets; parents are valid previous-depth discoverers with
+the documented min(parent_url) deterministic refinement.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from crawl4ai_spark.corpus.fakeshop import fakeshop_spark_df, generate_fakeshop
+from crawl4ai_spark.engine.fetch import CorpusFetcher
+from crawl4ai_spark.engine.frontier import CrawlConfig, CrawlEngine
+from crawl4ai_spark.engine.tables import Warehouse
+
+from tests.reference_model import build_web, reference_bfs
+
+SEED = "http://shop0.fakeshop.test/index.html"
+SEED_NORM = "http://shop0.fakeshop.test/index.html"
+
+
+@pytest.fixture(scope="module")
+def corpus_pages():
+    return generate_fakeshop(n_sites=1, n_categories=3, n_subcats=2, n_products=2)
+
+
+@pytest.fixture(scope="module")
+def web(corpus_pages):
+    return build_web(corpus_pages)
+
+
+def run_engine(spark, tmp_path, corpus_pages, cfg):
+    corpus_df = fakeshop_spark_df(
+        spark,
+        n_sites=1, n_categories=3, n_subcats=2, n_products=2,
+    )
+    wh = Warehouse(str(tmp_path / "wh"))
+    eng = CrawlEngine(spark, wh, CorpusFetcher(corpus_df), cfg)
+    stats = eng.run([SEED])
+    return eng, stats
+
+
+def crawl_multiset(eng, spark):
+    pages = eng.t_pages.read(spark)
+    return sorted(
+        (r.url_norm, r.depth) for r in pages.select("url_norm", "depth").collect()
+    )
+
+
+def test_bfs_matches_reference(spark, tmp_path, corpus_pages, web):
+    cfg = CrawlConfig(max_depth=3, use_bloom=True, bloom_m_bits=1 << 16, n_shards=8)
+    eng, stats = run_engine(spark, tmp_path, corpus_pages, cfg)
+
+    log, visited = reference_bfs(web, SEED_NORM, max_depth=3)
+
+    got = crawl_multiset(eng, spark)
+    want = sorted((u, d) for (u, d, _p, _s) in log)
+    assert got == want
+
+    seen_rows = {r.url_norm for r in eng.t_seen.read(spark).select("url_norm").collect()}
+    assert seen_rows == visited
+
+    # engine rounds == BFS levels when politeness is off
+    assert stats["rounds"] == 1 + max(d for (_u, d, _p, _s) in log)
+
+    # parents: valid previous-depth linkers, min(parent_url) refinement
+    pages = {
+        (r.url_norm, r.depth): r.parent_url
+        for r in eng.t_pages.read(spark).collect()
+    }
+    for (u, d), parent in pages.items():
+        if d == 0:
+            assert parent is None
+            continue
+        linkers = [
+            src for src, page in web.items()
+            if any(l == u for (l, _i) in page["links"])
+        ]
+        assert parent in linkers
+    # deterministic: a second identical run produces identical parents
+    eng2, _ = run_engine(spark, tmp_path / "b", corpus_pages, cfg)
+    pages2 = {
+        (r.url_norm, r.depth): r.parent_url
+        for r in eng2.t_pages.read(spark).collect()
+    }
+    assert pages == pages2
+
+
+def test_bfs_exact_seen_no_bloom_matches_bloom(spark, tmp_path, corpus_pages, web):
+    cfg = CrawlConfig(max_depth=2, use_bloom=False)
+    eng, _ = run_engine(spark, tmp_path, corpus_pages, cfg)
+    log, visited = reference_bfs(web, SEED_NORM, max_depth=2)
+    assert crawl_multiset(eng, spark) == sorted((u, d) for (u, d, _p, _s) in log)
+
+
+def test_max_pages_cap(spark, tmp_path, corpus_pages):
+    cfg = CrawlConfig(max_depth=3, max_pages=8, use_bloom=False)
+    eng, stats = run_engine(spark, tmp_path, corpus_pages, cfg)
+    # reference semantics: the level that crosses the cap still completes,
+    # discovery stops after
+    assert stats["pages_crawled"] >= 8
+    succ = eng.t_pages.read(spark).where("success").count()
+    assert succ == stats["pages_crawled"]
+
+
+def test_politeness_budget_limits_per_round(spark, tmp_path, corpus_pages, web):
+    cfg = CrawlConfig(
+        max_depth=3, base_host_budget=3, use_bloom=False, max_rounds=40
+    )
+    eng, stats = run_engine(spark, tmp_path, corpus_pages, cfg)
+    per_round_host = (
+        eng.t_pages.read(spark)
+        .groupBy("round", "host")
+        .count()
+        .collect()
+    )
+    assert all(r["count"] <= 3 for r in per_round_host)
+    # crawl completeness unaffected — deferred URLs eventually fetched
+    _log, visited = reference_bfs(web, SEED_NORM, max_depth=3)
+    got_urls = {r.url_norm for r in eng.t_pages.read(spark).collect()}
+    want_urls = {u for (u, _d, _p, _s) in _log}
+    assert got_urls == want_urls
+
+
+def test_resume_equals_uninterrupted(spark, tmp_path, corpus_pages):
+    cfg = CrawlConfig(max_depth=3, use_bloom=True, bloom_m_bits=1 << 16, n_shards=8)
+
+    eng_full, _ = run_engine(spark, tmp_path / "full", corpus_pages, cfg)
+    full_pages = crawl_multiset(eng_full, spark)
+    full_seen = {
+        r.url_norm for r in eng_full.t_seen.read(spark).select("url_norm").collect()
+    }
+
+    # partial run: stop after 2 rounds
+    cfg_partial = CrawlConfig(
+        max_depth=3, use_bloom=True, bloom_m_bits=1 << 16, n_shards=8, max_rounds=2
+    )
+    corpus_df = fakeshop_spark_df(spark, n_sites=1, n_categories=3, n_subcats=2, n_products=2)
+    wh = Warehouse(str(tmp_path / "part" / "wh"))
+    eng_p = CrawlEngine(spark, wh, CorpusFetcher(corpus_df), cfg_partial)
+    eng_p.run([SEED])
+    assert wh.last_committed_round() == 1
+
+    # resume with the full config in a NEW engine instance
+    eng_r = CrawlEngine(spark, wh, CorpusFetcher(corpus_df), cfg)
+    eng_r.run([SEED])
+
+    assert crawl_multiset(eng_r, spark) == full_pages
+    seen_r = {r.url_norm for r in eng_r.t_seen.read(spark).select("url_norm").collect()}
+    assert seen_r == full_seen
