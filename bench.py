@@ -1,0 +1,106 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "crawl_urls_per_sec": ...}
+
+Each query is forced end-to-end with the noop sink (full computation,
+no collect-to-driver, no column pruning of the measured work).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_crawl(spark, sf_dir: str, max_depth: int = 6) -> tuple[float, int]:
+    """The engine loop itself: BFS to depth 6 with bloom seen-set +
+    politeness budgets on. Returns (seconds, pages_crawled)."""
+    from crawl4ai_spark.corpus.webgen import build_corpus, seed_url
+    from crawl4ai_spark.engine.fetch import CorpusFetcher
+    from crawl4ai_spark.engine.frontier import CrawlConfig, CrawlEngine
+    from crawl4ai_spark.engine.tables import Warehouse
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = build_corpus(docs).cache()
+    wh = Warehouse(tempfile.mkdtemp(prefix="c4as_bench_"))
+    eng = CrawlEngine(
+        spark, wh, CorpusFetcher(corpus),
+        CrawlConfig(max_depth=max_depth, mode="bfs", use_bloom=True,
+                    base_host_budget=4000, n_salts=8),
+    )
+    t0 = time.monotonic()
+    stats = eng.run([seed_url()])
+    return time.monotonic() - t0, stats["pages_crawled"]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from crawl4ai_spark.session import build_session
+
+    spark = build_session(
+        app_name="crawl4ai-spark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from crawl4ai_spark import queries as Q
+
+    headline = [
+        "crawl_spans",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "embedding_cosine_topk",
+        "ann_signlsh_topk",
+        "tpch_q1_pricing",
+        "tpch_q3_revenue",
+        "events_tumbling",
+        "events_sessionize",
+        "events_topk",
+        "text_stats",
+        "chunks_fixed",
+        "url_canonicalize",
+    ]
+
+    timings: dict[str, float] = {}
+    crawl_s, crawl_pages = bench_crawl(spark, sf_dir)
+    timings["crawl_bfs_d6"] = round(crawl_s, 3)
+
+    for name in headline:
+        fn = Q.QUERIES[name]
+        t0 = time.monotonic()
+        _force(fn(spark, sf_dir))
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "crawl_pages": crawl_pages,
+        "crawl_urls_per_sec": round(crawl_pages / crawl_s, 2) if crawl_s else None,
+        "cpus": int(cpus),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,84 @@
+"""Deterministic synthetic web corpus derived from the `documents`
+table — the engine's test/bench "web".
+
+Every page is a pure function of (doc_id, text, source, N):
+
+  url(i)       https://site{i%7}.example.com/page/{i}
+  children(i)  [3i+1, 3i+2, 3i+3, 7i+11] ∩ [0, N)   (a link DAG with
+               multi-parent rediscoveries but no cycles — BFS depth is
+               well-defined and SQL-derivable by a recursive CTE)
+  html(i)      title + h1 + body paragraph + one image + tail paragraph
+               + <ul> of child links  ->  the extractor yields exactly
+               three spans: (text, image, text), the interleaved
+               text+media shape of the north rule.
+
+The same formulas are re-stated in ANSI SQL by queries.py's oracles, so
+crawl traversal, span extraction, and link discovery all have exact
+DuckDB cross-checks. Modeled on the reference's deterministic site
+fixture (tests/general/generate_dummy_site.py:1-335 "FakeShop").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CHILD_FACTORS = ((3, 1), (3, 2), (3, 3), (7, 11))
+N_HOSTS = 7
+
+
+def url_expr(i):
+    """url(i) as a Column; i is a long Column."""
+    return F.format_string(
+        "https://site%d.example.com/page/%d", F.pmod(i, F.lit(N_HOSTS)), i
+    )
+
+
+def children_expr(i, n_docs: int):
+    """Array of child ids < n_docs, in CHILD_FACTORS order."""
+    return F.filter(
+        F.array(*[i * a + b for a, b in CHILD_FACTORS]),
+        lambda c: c < F.lit(n_docs),
+    )
+
+
+def build_corpus(docs: DataFrame, n_docs: int | None = None) -> DataFrame:
+    """documents(doc_id, text, source, ...) -> corpus(url_norm, html,
+    status_code, fetch_ms) for CorpusFetcher."""
+    if n_docs is None:
+        n_docs = docs.count()
+    i = F.col("doc_id").cast("long")
+    kids = children_expr(i, n_docs)
+    links_html = F.array_join(
+        F.transform(
+            kids,
+            lambda c: F.format_string(
+                '<li><a href="%s">go %d</a></li>', url_expr(c), c
+            ),
+        ),
+        "",
+    )
+    html = F.concat(
+        F.format_string(
+            '<html><head><title>Doc %d</title>'
+            '<meta name="description" content="%s"/></head>'
+            "<body><h1>Doc %d</h1><p>", i, F.col("source"), i,
+        ),
+        F.col("text"),
+        F.format_string(
+            '</p><img src="https://cdn.example.com/img/%d.png" '
+            'alt="image %d" width="200"/><p>tail %d</p><ul>', i, i, i,
+        ),
+        links_html,
+        F.lit("</ul></body></html>"),
+    )
+    return docs.select(
+        url_expr(i).alias("url_norm"),
+        html.alias("html"),
+        F.lit(200).alias("status_code"),
+        (F.pmod(i, F.lit(20)) + 1).cast("int").alias("fetch_ms"),
+    )
+
+
+def seed_url() -> str:
+    return "https://site0.example.com/page/0"

@@ -365,9 +365,14 @@ class CrawlEngine:
             cands = cands.where(cfg.url_filter(F.col("url_norm")))
 
         # intra-batch first-wins parent: deterministic refinement
-        # min(parent_url) (SURVEY §7.4)
-        cands = cands.groupBy("url_norm").agg(
-            F.min("depth").alias("depth"), F.min("parent_url").alias("parent_url")
+        # min(depth, parent_url) as a PAIR (SURVEY §7.4) — independent
+        # mins could pair min-depth with a parent from a deeper
+        # discoverer in mixed-depth (best-first) rounds
+        cands = (
+            cands.groupBy("url_norm")
+            .agg(F.min(F.struct("depth", "parent_url")).alias("dp"))
+            .select("url_norm", F.col("dp.depth").alias("depth"),
+                    F.col("dp.parent_url").alias("parent_url"))
         )
 
         # score + threshold (bfs_strategy.py:112-119)

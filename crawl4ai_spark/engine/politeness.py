@@ -73,24 +73,42 @@ def select_fetch_batch(
     else:
         f = f.withColumn("budget", F.coalesce(F.col("budget"), F.lit(base_budget)))
 
+        # Two-stage top-k prune computes the (small) winner set without
+        # ever running a whole-host window over a hub host's 10^7 rows;
+        # the full frontier is then flagged by a join against the
+        # winners, so non-selected rows are RETAINED as deferred (they
+        # must survive into the next round, not be silently dropped).
+
         # stage 1 — salt-local top-k caps hub-host partitions: the global
         # per-host window then sees at most budget*n_salts rows per host
         w_salt = Window.partitionBy("host", "salt").orderBy(*order)
-        f = f.withColumn("__rs", F.row_number().over(w_salt)).where(
+        pruned = f.withColumn("__rs", F.row_number().over(w_salt)).where(
             F.col("__rs") <= F.col("budget")
         ).drop("__rs")
 
-        # stage 2 — the politeness window proper
+        # stage 2 — the politeness window proper, over survivors only
         w_host = Window.partitionBy("host").orderBy(*order)
-        f = f.withColumn("__rh", F.row_number().over(w_host)).withColumn(
-            "selected", F.col("__rh") <= F.col("budget")
-        ).drop("__rh")
+        winners = (
+            pruned.withColumn("__rh", F.row_number().over(w_host))
+            .where(F.col("__rh") <= F.col("budget"))
+            .select("url_norm")
+        )
+        if global_budget is not None:
+            # best-first batch cap (bff_strategy.py:161-174): global
+            # top-N, tie-break (priority, depth, url) per SURVEY §2.2 —
+            # sort-limit (TakeOrdered), never a partition-less window
+            winners = (
+                pruned.join(winners, "url_norm", "left_semi")
+                .orderBy(*order).limit(global_budget).select("url_norm")
+            )
+        # winners is Σ per-host budgets at most — orders of magnitude
+        # smaller than the frontier; AQE broadcasts it when it fits
+        f = f.join(
+            winners.withColumn("__sel", F.lit(True)), "url_norm", "left"
+        ).withColumn("selected", F.coalesce(F.col("__sel"), F.lit(False))).drop("__sel")
+        return f
 
     if global_budget is not None:
-        # best-first batch cap (bff_strategy.py:161-174): global top-N by
-        # priority, tie-break (priority, depth, url) per SURVEY §2.2.
-        # sort-limit (TakeOrdered) + broadcast semi-join — NOT a
-        # partition-less window, which would single-task the frontier.
         top = (
             f.where("selected").orderBy(*order).limit(global_budget)
             .select(F.col("url_norm").alias("__top_url"))

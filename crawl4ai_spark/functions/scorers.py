@@ -53,9 +53,13 @@ def path_depth_score(url, optimal_depth: int = 3, weight: float = 1.0) -> Column
 
 
 def url_extension(url) -> Column:
-    """Extension after the last '.', cut at ?/#/;/non-alnum, lowercased
-    (scorers.py:280-310 _quick_extension)."""
-    return F.lower(F.regexp_extract(_url(url), r"\.([A-Za-z0-9]+)(?:[?#;/]|$)", 1))
+    """Extension after the LAST '.' in the whole URL (rfind), cut at the
+    first non-alnum char, lowercased (scorers.py:289-303
+    _quick_extension — includes its quirk that 'http://host.org' yields
+    'org')."""
+    u = _url(url)
+    ext = F.lower(F.regexp_extract(F.substring_index(u, ".", -1), "^[A-Za-z0-9]+", 0))
+    return F.when(u.contains("."), ext).otherwise(F.lit(""))
 
 
 def content_type_score(url, type_weights: dict[str, float], weight: float = 1.0) -> Column:

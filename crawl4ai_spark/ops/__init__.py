@@ -1,0 +1,4 @@
+"""Training-data pipeline operators (dedup, similarity, text analysis,
+multimodal plumbing) — first-class components of the engine alongside
+the crawl loop: a 100 TB crawl output is only useful once deduplicated,
+quality-scored, and searchable."""

@@ -1,0 +1,242 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup.
+
+All shapes are chosen for 100 TB scale:
+
+  exact       one groupBy on a 64-bit content hash — map-side partial
+              aggregation, no row data shuffled beyond (hash, id).
+  minhash     signatures are computed per-row with higher-order array
+              functions (no shuffle); LSH banding turns the O(n^2)
+              pair problem into |bands| groupBy-joins on band keys, so
+              only same-bucket candidates shuffle.
+  simhash     per-(doc, bit) relational aggregation; near-dup = equal
+              fingerprint (or small hamming distance via band-joins).
+  ngram-jaccard  exact verification path: (doc, shingle) self-join on
+              shingle — only co-shingled pairs materialize, never the
+              full cross product.
+  embedding   cosine >= tau pair finding; brute force for verification,
+              LSH (ops/similarity.py) as the scale path.
+
+Hashes come from ops.text.hash64 (md5-based, engine-portable) so every
+operator here has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from crawl4ai_spark.ops.text import hash64, tokens, word_ngrams
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by content hash: one row per duplicated content,
+    keeper = min(id). Output: (content_hash, n_copies, keeper_id)."""
+    return (
+        df.select(hash64(text_col).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(id_col).alias("keeper_id"),
+        )
+        .where(F.col("n_copies") > 1)
+    )
+
+
+def minhash_signature(text_col, num_hashes: int = 16, shingle_n: int = 3):
+    """MinHash signature as an array<long> column: for each seeded hash
+    family member, the min over word-shingle hashes. Computed entirely
+    inside one projection — no shuffle, no Python."""
+    shingles = F.array_distinct(word_ngrams(text_col, shingle_n))
+
+    def seeded(i):
+        # NB: must be a 1-arg lambda — a 2-arg lambda would be treated
+        # by Spark as an (element, index) higher-order function
+        return lambda s: hash64(s, seed=i)
+
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, seeded(i)))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs (id_a < id_b, est_sim).
+
+    Band key = md5 of the band's signature slice; docs sharing any band
+    bucket become candidates. est_sim = fraction of equal signature
+    components. The per-band groupBy-join shuffles only (band_key, id,
+    signature), never document text.
+    """
+    rows = num_hashes // bands
+    sig = (
+        df.select(F.col(id_col).alias("id"),
+                  minhash_signature(text_col, num_hashes, shingle_n).alias("sig"))
+    )
+    banded = sig.select(
+        "id", "sig",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(F.concat_ws(",", *[
+                        F.element_at("sig", b * rows + r + 1).cast("string")
+                        for r in range(rows)
+                    ])).alias("key"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("id", "sig", "bk.band", "bk.key")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        ).cast("double")
+        / F.lit(float(num_hashes))
+    )
+    return pairs.select("id_a", "id_b", F.round(est, 6).alias("est_sim"))
+
+
+def simhash(text_col, bits: int = 32):
+    """SimHash fingerprint over distinct tokens: bit b of the output is
+    the sign of sum over tokens of (token-hash bit b ? +1 : -1)."""
+    toks = F.array_distinct(tokens(text_col))
+    hashes = F.transform(toks, lambda t: hash64(t))
+    def bit_sum(b):
+        return F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + (F.shiftright(h, b) % 2) * 2 - 1,
+        )
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        out = out + F.when(bit_sum(b) > 0, F.lit(2 ** b).cast("long")).otherwise(0)
+    return out
+
+
+def simhash_relational(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    """SimHash via explode/groupBy — the shape that scales when docs are
+    huge (no wide per-row expression): (id, bit) partial sums combine
+    map-side. Output: (doc_id, simhash)."""
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
+    ).withColumn("h", hash64("tok"))
+    bit = tok.select(
+        "doc_id", "h",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+    ).withColumn("sign", F.expr("shiftright(h, cast(bit as int)) % 2") * 2 - 1)
+    agg = bit.groupBy("doc_id", "bit").agg(F.sum("sign").alias("s"))
+    return (
+        agg.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0,
+                       F.pow(F.lit(2.0), F.col("bit")).cast("long")).otherwise(0)
+            ).alias("simhash")
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 1,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs (id_a < id_b, jaccard >= t).
+
+    Relational shape: explode to (id, shingle) distinct, self-join on
+    shingle to count intersections, join per-doc set sizes for the
+    union. Only pairs sharing >= 1 shingle are ever materialized; at
+    scale add a document-frequency cap on shingles (drop shingles in
+    > K docs) to bound hub-shingle blowup.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("sh"),
+    ).dropDuplicates(["id", "sh"])
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= t).
+
+    Brute-force O(n^2) verification path (range-join); the scale path
+    buckets by sign-LSH first (ops/similarity.py) so only same-bucket
+    pairs reach the dot product.
+    """
+    v = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    a, b = v.alias("a"), v.alias("b")
+    dot = F.aggregate(
+        F.zip_with("a.v", "b.v", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda side: F.sqrt(
+        F.aggregate(
+            F.transform(f"{side}.v", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+    )
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(dot / (norm("a") * norm("b")), 6).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )

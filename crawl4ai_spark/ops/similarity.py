@@ -1,0 +1,127 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+  cosine_topk     brute-force exact top-k: broadcast the (small) query
+                  set against the corpus, dot products as higher-order
+                  array expressions (JVM-side, codegen), per-query
+                  window top-k. The correctness baseline.
+  signlsh_topk    sign-random-hyperplane LSH: each vector gets a B-bit
+                  bucket from deterministic pseudo-random hyperplanes
+                  (hash-derived, engine-portable); queries probe only
+                  their own bucket — the 100 TB path, where the bucket
+                  join replaces the full cross product. Recall is
+                  tunable via B (fewer bits -> bigger buckets).
+
+No Python UDFs; the hyperplanes are hash-derived inside Catalyst so
+the same code runs identically on any cluster (and has an exact DuckDB
+oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from crawl4ai_spark.ops.text import hash64
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(v):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(v, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    Output: (q_id, vec_id, cos, rank), rank 1..k, ties broken by vec_id
+    (cosine rounded to 6dp first so ranking is float-order-insensitive).
+    """
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    q = queries.select(F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("qv"))
+    scored = (
+        c.join(F.broadcast(q))
+        .select(
+            "q_id", "vec_id",
+            F.round(_dot("v", "qv") / (_norm("v") * _norm("qv")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def sign_lsh_bucket(vec_col, n_bits: int = 4, dim: int = 64):
+    """Deterministic sign-LSH bucket id in [0, 2^n_bits).
+
+    Hyperplane j's d-th component = (hash64('j,d') % 2001 - 1000)/1000,
+    a reproducible pseudo-random value in [-1, 1] — derived inside the
+    engine, no driver-side randomness, identical on every executor and
+    every engine (portable oracle).
+    """
+    bucket = F.lit(0).cast("long")
+    for j in range(n_bits):
+        comps = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d: (
+                F.pmod(hash64(d.cast("string"), seed=f"hp{j}"), F.lit(2001)) - 1000
+            ).cast("double") / 1000.0,
+        )
+        proj = F.aggregate(
+            F.zip_with(vec_col, comps, lambda x, c: x.cast("double") * c),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(2 ** j).cast("long")).otherwise(0)
+    return bucket
+
+
+def signlsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_bits: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Approximate top-k: exact cosine ranking *within* the query's
+    sign-LSH bucket. Output: (q_id, vec_id, cos, rank)."""
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"),
+        sign_lsh_bucket(F.col(vec_col), n_bits, dim).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("qv"),
+        sign_lsh_bucket(F.col(q_vec_col), n_bits, dim).alias("bucket"),
+    )
+    scored = c.join(F.broadcast(q), "bucket").select(
+        "q_id", "vec_id",
+        F.round(_dot("v", "qv") / (_norm("v") * _norm("qv")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -1,0 +1,1141 @@
+"""Query registry: every implemented operator as a (Spark callable,
+DuckDB oracle SQL) pair.
+
+Each callable takes (spark, sf_dir) and returns a DataFrame; the
+matching oracle is ANSI SQL DuckDB runs over the same parquet tables
+(views: region nation customer supplier part orders lineitem events
+documents embeddings). Column names/aliases are IDENTICAL on both
+sides; floats are rounded identically on both sides before comparison.
+
+Cross-engine determinism rules used throughout:
+  - hashes are md5-derived 60-bit ints (ops/text.hash64) — identical in
+    Spark (`conv(substr(md5(x),1,15),16,10)`) and DuckDB
+    (`('0x'||substr(md5(x),1,15))::BIGINT`);
+  - cosine/scores rounded to 5-6 dp before ranking, ranks tie-broken by
+    id, so float association order can never flip a comparison;
+  - the synthetic web graph (corpus/webgen.py) is a pure function of
+    doc_id, so crawl traversal has a recursive-CTE oracle.
+
+Queries without an oracle (engine loops that SQL can't express:
+best-first scheduling, bloom probing, multimodal feature stubs) are
+registered with oracle=None -> the driver records a rows-only check.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from crawl4ai_spark.corpus.webgen import (
+    CHILD_FACTORS,
+    N_HOSTS,
+    build_corpus,
+    children_expr,
+    seed_url,
+    url_expr,
+)
+from crawl4ai_spark.ops import adaptive, dedup, similarity, text as text_ops
+from crawl4ai_spark.ops.text import hash64
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB side)
+# ---------------------------------------------------------------------------
+
+def _h64(expr: str, seed=None) -> str:
+    s = f"('{seed}:' || {expr})" if seed is not None else expr
+    return f"CAST(('0x' || substr(md5({s}),1,15)) AS BIGINT)"
+
+
+def _url_sql(i: str = "i") -> str:
+    return (f"('https://site' || CAST(({i}) % {N_HOSTS} AS VARCHAR) || "
+            f"'.example.com/page/' || CAST(({i}) AS VARCHAR))")
+
+
+_KIDS_SQL = "list_filter([{terms}], c -> c < n)".format(
+    terms=", ".join(f"{a}*i+{b}" for a, b in CHILD_FACTORS)
+)
+
+_DOCS_I = "SELECT CAST(doc_id AS BIGINT) AS i, text, source FROM documents"
+_CNT = "SELECT COUNT(*) AS n FROM documents"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+# ===========================================================================
+# A. Crawl engine
+# ===========================================================================
+
+_CRAWL_BFS_DEPTH = 3
+
+_CRAWL_BFS_ORACLE = f"""
+WITH RECURSIVE
+docs AS ({_DOCS_I}),
+cnt AS ({_CNT}),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT i AS src, UNNEST([{", ".join(f"{a}*i+{b}" for a, b in CHILD_FACTORS)}]) AS dst
+    FROM docs
+  ) e, cnt WHERE e.dst < cnt.n
+),
+walk AS (
+  SELECT CAST(0 AS BIGINT) AS id, 0 AS depth, CAST(NULL AS BIGINT) AS parent
+  UNION
+  SELECT e.dst, w.depth + 1, w.id
+  FROM walk w JOIN edges e ON e.src = w.id
+  WHERE w.depth < {_CRAWL_BFS_DEPTH}
+),
+best AS (SELECT id, MIN(depth) AS depth FROM walk GROUP BY id),
+resolved AS (
+  SELECT w.id, w.depth, MIN({_url_sql('w.parent')}) AS parent_url
+  FROM walk w JOIN best b ON w.id = b.id AND w.depth = b.depth
+  GROUP BY w.id, w.depth
+)
+SELECT {_url_sql('id')} AS url_norm, CAST(depth AS INT) AS depth, parent_url
+FROM resolved
+"""
+
+
+@register("crawl_bfs", _CRAWL_BFS_ORACLE)
+def crawl_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full engine loop: BFS to depth 3 over the synthetic corpus;
+    returns the crawled set with lineage (url, depth, first parent)."""
+    from crawl4ai_spark.engine.fetch import CorpusFetcher
+    from crawl4ai_spark.engine.frontier import CrawlConfig, CrawlEngine
+    from crawl4ai_spark.engine.tables import Warehouse
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = build_corpus(docs).cache()  # rounds re-scan it; build once
+    wh = Warehouse(tempfile.mkdtemp(prefix="c4as_bfs_"))
+    eng = CrawlEngine(
+        spark, wh, CorpusFetcher(corpus),
+        CrawlConfig(max_depth=_CRAWL_BFS_DEPTH, mode="bfs", use_bloom=True),
+    )
+    eng.run([seed_url()])
+    pages = eng.t_pages.read(spark)
+    return pages.select("url_norm", F.col("depth").cast("int").alias("depth"), "parent_url")
+
+
+def _spans_oracle() -> str:
+    url_i = _url_sql("i")
+    url_c = _url_sql("c")
+    link_md = f"list_transform(ks, c -> ('* [go ' || CAST(c AS VARCHAR) || '](' || {url_c} || ')'))"
+    return f"""
+WITH docs AS ({_DOCS_I}),
+cnt AS ({_CNT}),
+k AS (SELECT i, text, {_KIDS_SQL} AS ks FROM docs, cnt)
+SELECT {url_i} AS url_norm, 0 AS "offset", 'text' AS kind,
+       ('# Doc ' || CAST(i AS VARCHAR) || chr(10) || chr(10) || text) AS text,
+       CAST(NULL AS VARCHAR) AS media_ref
+FROM k
+UNION ALL
+SELECT {url_i}, 1, 'image', ('image ' || CAST(i AS VARCHAR)),
+       ('https://cdn.example.com/img/' || CAST(i AS VARCHAR) || '.png')
+FROM k
+UNION ALL
+SELECT {url_i}, 2, 'text',
+       ('tail ' || CAST(i AS VARCHAR) ||
+        CASE WHEN len(ks) > 0
+             THEN chr(10) || chr(10) || array_to_string({link_md}, chr(10))
+             ELSE '' END),
+       CAST(NULL AS VARCHAR)
+FROM k
+"""
+
+
+@register("crawl_spans", _spans_oracle())
+def crawl_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved span extraction (the north-rule invariant): every
+    synthetic page yields spans (text, image, text) in document order,
+    checked field-by-field against the SQL-constructed expectation."""
+    from crawl4ai_spark.extraction.extract import extract_pages
+
+    corpus = build_corpus(_t(spark, sf_dir, "documents"))
+    pages = extract_pages(corpus.withColumnRenamed("url_norm", "url"))
+    s = pages.select("url", F.explode("spans").alias("s"))
+    return s.select(
+        F.col("url").alias("url_norm"),
+        F.col("s.offset").alias("offset"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
+
+
+_LINKS_ORACLE = f"""
+WITH docs AS ({_DOCS_I}),
+cnt AS ({_CNT}),
+k AS (SELECT i, UNNEST({_KIDS_SQL}) AS c FROM docs, cnt)
+SELECT {_url_sql('i')} AS url_norm, {_url_sql('c')} AS link_url,
+       ('go ' || CAST(c AS VARCHAR)) AS link_text, 1 AS internal
+FROM k
+"""
+
+
+@register("crawl_links", _LINKS_ORACLE)
+def crawl_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link extraction + canonicalization + internal/external split."""
+    from crawl4ai_spark.extraction.extract import extract_pages
+
+    corpus = build_corpus(_t(spark, sf_dir, "documents"))
+    pages = extract_pages(corpus.withColumnRenamed("url_norm", "url"))
+    l = pages.select("url", F.explode("links").alias("l"))
+    return l.select(
+        F.col("url").alias("url_norm"),
+        F.col("l.url_norm").alias("link_url"),
+        F.col("l.text").alias("link_text"),
+        F.col("l.internal").cast("int").alias("internal"),
+    )
+
+
+_POLITE_BUDGET = 3
+
+_POLITE_ORACLE = f"""
+WITH docs AS ({_DOCS_I}),
+f AS (
+  SELECT {_url_sql('i')} AS url_norm,
+         ('site' || CAST(i % {N_HOSTS} AS VARCHAR) || '.example.com') AS host,
+         CAST(i % 4 AS INT) AS depth,
+         CAST((i * 37 % 100) AS DOUBLE) / 10.0 AS priority
+  FROM docs
+)
+SELECT url_norm,
+       CASE WHEN ROW_NUMBER() OVER (
+         PARTITION BY host ORDER BY priority ASC, depth ASC, url_norm ASC
+       ) <= {_POLITE_BUDGET} THEN 1 ELSE 0 END AS selected
+FROM f
+"""
+
+
+@register("crawl_politeness", _POLITE_ORACLE)
+def crawl_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The politeness window (per-host per-round fetch budget): the
+    salted two-stage top-k must equal a plain per-host row_number."""
+    from crawl4ai_spark.engine.politeness import select_fetch_batch
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    frontier = docs.select(
+        url_expr(i).alias("url_norm"),
+        F.format_string("site%d.example.com", F.pmod(i, F.lit(N_HOSTS))).alias("host"),
+        F.pmod(i, F.lit(4)).cast("int").alias("depth"),
+        (F.pmod(i * 37, F.lit(100)).cast("double") / 10.0).alias("priority"),
+        F.lit(0).alias("retry_count"),
+        F.lit(0).alias("wait_rounds"),
+        F.pmod(i, F.lit(8)).cast("int").alias("salt"),
+    )
+    marked = select_fetch_batch(frontier, None, base_budget=_POLITE_BUDGET)
+    return marked.select("url_norm", F.col("selected").cast("int").alias("selected"))
+
+
+_ROBOTS_ORACLE = f"""
+WITH docs AS ({_DOCS_I})
+SELECT {_url_sql('i')} AS url_norm,
+       CASE WHEN (i % {N_HOSTS}) = 3
+                 AND ('/page/' || CAST(i AS VARCHAR)) LIKE '/page/1%'
+                 AND NOT ('/page/' || CAST(i AS VARCHAR)) LIKE '/page/12%'
+            THEN 0 ELSE 1 END AS allowed
+FROM docs
+"""
+
+
+@register("crawl_robots", _ROBOTS_ORACLE)
+def crawl_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt gate: longest-match allow/disallow per host via the
+    broadcast dim join (disallow /page/1, allow /page/12 on site3)."""
+    from crawl4ai_spark.engine.robots import apply_robots_gate
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    frontier = docs.select(
+        url_expr(i).alias("url_norm"),
+        F.format_string("site%d.example.com", F.pmod(i, F.lit(N_HOSTS))).alias("host"),
+        F.format_string("/page/%d", i).alias("path"),
+    )
+    robots = spark.createDataFrame(
+        [("site3.example.com", ["/page/12"], ["/page/1"])],
+        "host string, allow array<string>, disallow array<string>",
+    )
+    gated = apply_robots_gate(frontier, robots)
+    return gated.select(
+        "url_norm", F.col("robots_allowed").cast("int").alias("allowed")
+    )
+
+
+@register("crawl_bestfirst", None)
+def crawl_bestfirst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-first traversal (priority queue re-expressed as per-round
+    global top-k): rows-only check — iterative scheduling with a
+    running page budget is not single-statement SQL."""
+    from crawl4ai_spark.engine.fetch import CorpusFetcher
+    from crawl4ai_spark.engine.frontier import CrawlConfig, CrawlEngine
+    from crawl4ai_spark.engine.tables import Warehouse
+    from crawl4ai_spark.functions.scorers import path_depth_score
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = build_corpus(docs).cache()  # rounds re-scan it; build once
+    wh = Warehouse(tempfile.mkdtemp(prefix="c4as_bff_"))
+    eng = CrawlEngine(
+        spark, wh, CorpusFetcher(corpus),
+        CrawlConfig(
+            max_depth=4, mode="best_first", batch_size=10, max_pages=30,
+            scorer=lambda u: -path_depth_score(u, optimal_depth=2),
+            use_bloom=True,
+        ),
+    )
+    eng.run([seed_url()])
+    pages = eng.t_pages.read(spark)
+    return pages.where("success").select(
+        "url_norm", F.col("depth").cast("int").alias("depth")
+    )
+
+
+# ===========================================================================
+# B. URL functions (canonicalization / scoring / filtering)
+# ===========================================================================
+
+_CANON_ORACLE = f"""
+WITH docs AS ({_DOCS_I})
+SELECT i AS doc_id,
+       ('https://site' || CAST(i % {N_HOSTS} AS VARCHAR) || '.example.com/Page/'
+        || CAST(i AS VARCHAR) || '?b=' || CAST(i % 5 AS VARCHAR) || '&a=1') AS url_a,
+       ('https://base.example.com/rel path/' || CAST(i AS VARCHAR) || '?q=a+b') AS url_b
+FROM docs
+"""
+
+
+@register("url_canonicalize", _CANON_ORACLE)
+def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seen-set identity function: tracking-param drop, case folding,
+    fragment drop, trailing-slash strip, query re-encode (urljoin
+    semantics of the reference's normalize_url_for_deep_crawl)."""
+    from crawl4ai_spark.functions.urlnorm import normalize_urls_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    messy_a = F.format_string(
+        "https://SITE%d.Example.com/Page/%d/?utm_source=x&b=%d&a=1#frag",
+        F.pmod(i, F.lit(N_HOSTS)), i, F.pmod(i, F.lit(5)),
+    )
+    messy_b = F.format_string("/rel path/%d?q=a b", i)
+    base = F.lit("https://base.example.com/dir/x")
+    return docs.select(
+        i.alias("doc_id"),
+        normalize_urls_udf(messy_a, base).alias("url_a"),
+        normalize_urls_udf(messy_b, base).alias("url_b"),
+    )
+
+
+_BASEDOM_ORACLE = f"""
+WITH docs AS ({_DOCS_I})
+SELECT i AS doc_id,
+       CASE CAST(i % 3 AS INT)
+         WHEN 0 THEN ('shop' || CAST(i AS VARCHAR) || '.co.uk')
+         WHEN 1 THEN ('site' || CAST(i AS VARCHAR) || '.com')
+         ELSE ('host' || CAST(i AS VARCHAR) || '.org') END AS base_domain
+FROM docs
+"""
+
+
+@register("url_base_domain", _BASEDOM_ORACLE)
+def url_base_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_base_domain semantics: www/port strip + co.uk-style TLDs."""
+    from crawl4ai_spark.functions.urlnorm import base_domain_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    url = (
+        F.when(i % 3 == 0, F.format_string("https://www.shop%d.co.uk:8080/a", i))
+        .when(i % 3 == 1, F.format_string("https://a.b.site%d.com/x", i))
+        .otherwise(F.format_string("http://host%d.org", i))
+    )
+    return docs.select(i.alias("doc_id"), base_domain_udf(url).alias("base_domain"))
+
+
+# scorer-query URL: https://site{h}.example.com + '/d'*(i%5) + /doc-{year}-x.{ext}
+_EXTS = ("html", "pdf", "png", "txt")
+_SCORE_URL_SPARK = None  # built in the function
+
+
+def _score_url_sql() -> str:
+    return (
+        f"('https://site' || CAST(i % {N_HOSTS} AS VARCHAR) || '.example.com'"
+        f" || repeat('/d', CAST(i % 5 AS INT))"
+        f" || '/doc-' || CAST(2015 + (i % 12) AS VARCHAR) || '-x.'"
+        f" || ['html','pdf','png','txt'][CAST(i % 4 AS INT) + 1])"
+    )
+
+
+_SCORES_ORACLE = f"""
+WITH docs AS ({_DOCS_I}),
+u AS (
+  SELECT i, CAST(i % 5 AS INT) + 1 AS pdepth, 2015 + CAST(i % 12 AS INT) AS yr,
+         CAST(i % 4 AS INT) AS e, {_score_url_sql()} AS url
+  FROM docs
+)
+SELECT i AS doc_id,
+  CAST(ROUND(CASE abs(pdepth - 2) WHEN 0 THEN 1.0 WHEN 1 THEN 0.5
+        WHEN 2 THEN 1.0/3.0 WHEN 3 THEN 0.25
+        ELSE 1.0/(1.0 + abs(pdepth - 2)) END, 6) AS DOUBLE) AS depth_score,
+  CAST(ROUND(CASE WHEN yr > 2024 THEN 0.5
+        WHEN 2024 - yr <= 5 THEN [1.0, 0.9, 0.8, 0.7, 0.6, 0.5][2024 - yr + 1]
+        ELSE greatest(0.1, 1.0 - (2024 - yr) * 0.1) END, 6) AS DOUBLE) AS fresh_score,
+  CAST(ROUND((CASE WHEN url LIKE '%doc%' THEN 1 ELSE 0 END
+       + CASE WHEN url LIKE '%site1%' THEN 1 ELSE 0 END) / 2.0, 6) AS DOUBLE) AS kw_score,
+  CAST(ROUND(CASE e WHEN 0 THEN 1.0 WHEN 1 THEN 0.8 WHEN 2 THEN 0.5 ELSE 0.0 END, 6) AS DOUBLE) AS ct_score
+FROM u
+"""
+
+
+@register("url_scores", _SCORES_ORACLE)
+def url_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native scorer columns: PathDepth, Freshness, KeywordRelevance,
+    ContentType — whole-stage-codegen expressions, no Python."""
+    from crawl4ai_spark.functions.scorers import (
+        content_type_score,
+        freshness_score,
+        keyword_relevance_score,
+        path_depth_score,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    ext = F.element_at(F.array(*[F.lit(e) for e in _EXTS]), (i % 4).cast("int") + 1)
+    url = F.concat(
+        F.format_string("https://site%d.example.com", F.pmod(i, F.lit(N_HOSTS))),
+        F.repeat(F.lit("/d"), (i % 5).cast("int")),
+        F.format_string("/doc-%d-x.", F.lit(2015) + i % 12),
+        ext,
+    )
+    return docs.select(
+        i.alias("doc_id"),
+        F.round(path_depth_score(url, optimal_depth=2), 6).alias("depth_score"),
+        F.round(freshness_score(url, current_year=2024), 6).alias("fresh_score"),
+        F.round(keyword_relevance_score(url, ["doc", "site1"]), 6).alias("kw_score"),
+        F.round(
+            content_type_score(url, {".html$": 1.0, ".pdf$": 0.8, ".png$": 0.5}), 6
+        ).alias("ct_score"),
+    )
+
+
+_FILTERS_ORACLE = f"""
+WITH docs AS ({_DOCS_I}),
+u AS (SELECT i, CAST(i % 4 AS INT) AS e, {_score_url_sql()} AS url FROM docs)
+SELECT i AS doc_id,
+  CASE WHEN e IN (0, 1, 3) THEN 1 ELSE 0 END AS ct_ok,      -- html,pdf pass; txt passes (text/plain); png blocked
+  CASE WHEN e = 0 THEN 1 ELSE 0 END AS pat_html,
+  1 AS dom_ok,
+  CASE WHEN (i % {N_HOSTS}) = 3 THEN 0 ELSE 1 END AS dom_not_blocked
+FROM u
+"""
+
+
+@register("url_filters", _FILTERS_ORACLE)
+def url_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native filter predicates: ContentTypeFilter, URLPatternFilter
+    (*.html suffix path), DomainFilter allow + block lists."""
+    from crawl4ai_spark.functions.filters import (
+        content_type_filter,
+        domain_filter,
+        url_pattern_filter,
+    )
+    from crawl4ai_spark.functions.urlnorm import url_host
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    ext = F.element_at(F.array(*[F.lit(e) for e in _EXTS]), (i % 4).cast("int") + 1)
+    url = F.concat(
+        F.format_string("https://site%d.example.com", F.pmod(i, F.lit(N_HOSTS))),
+        F.repeat(F.lit("/d"), (i % 5).cast("int")),
+        F.format_string("/doc-%d-x.", F.lit(2015) + i % 12),
+        ext,
+    )
+    host = url_host(url)
+    return docs.select(
+        i.alias("doc_id"),
+        content_type_filter(url, ["text/html", "application/pdf", "text/plain"])
+        .cast("int").alias("ct_ok"),
+        url_pattern_filter(url, ["*.html"]).cast("int").alias("pat_html"),
+        domain_filter(host, allowed_domains=["example.com"]).cast("int").alias("dom_ok"),
+        domain_filter(host, blocked_domains=["site3.example.com"])
+        .cast("int").alias("dom_not_blocked"),
+    )
+
+
+_SEO_ORACLE = f"""
+WITH docs AS ({_DOCS_I}),
+x AS (
+  SELECT i,
+    length(substr(text, 1, CAST(i % 80 AS INT))) AS tlen,
+    length(substr(text, 1, CAST(i % 200 AS INT))) AS dlen,
+    ({_url_sql('i')} || CASE WHEN i % 2 = 0 THEN '_x' ELSE '' END) AS url
+  FROM docs
+)
+SELECT i AS doc_id,
+  CAST(ROUND(
+    CASE WHEN tlen BETWEEN 10 AND 70 THEN 0.3 ELSE 0.0 END
+    + 0.2
+    + CASE WHEN dlen BETWEEN 50 AND 160 THEN 0.2 ELSE 0.0 END
+    + 0.3
+    - (CASE WHEN length(url) > 80 THEN 0.1 ELSE 0.0 END
+       + CASE WHEN regexp_matches(url, '[0-9]{{4,}}') THEN 0.1 ELSE 0.0 END
+       + CASE WHEN contains(url, '?') THEN 0.05 ELSE 0.0 END
+       + CASE WHEN contains(url, '_') THEN 0.05 ELSE 0.0 END),
+  6) AS DOUBLE) AS seo_score
+FROM x
+"""
+
+
+@register("url_seo", _SEO_ORACLE)
+def url_seo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEOFilter head-quality score as pure column arithmetic."""
+    from crawl4ai_spark.functions.filters import seo_quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    title = F.expr("substring(text, 1, cast(doc_id % 80 as int))")
+    desc = F.expr("substring(text, 1, cast(doc_id % 200 as int))")
+    url = F.concat(
+        url_expr(i), F.when(i % 2 == 0, F.lit("_x")).otherwise(F.lit("")),
+    )
+    return docs.select(
+        i.alias("doc_id"),
+        F.round(seo_quality_score(url, title, desc), 6).alias("seo_score"),
+    )
+
+
+# ===========================================================================
+# C. Analytics (general DataFrame/SQL capability over the star schema)
+# ===========================================================================
+
+_Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+  CAST(ROUND(SUM(l_quantity), 2) AS DOUBLE) AS sum_qty,
+  CAST(ROUND(SUM(l_extendedprice), 2) AS DOUBLE) AS sum_base_price,
+  CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS sum_disc_price,
+  CAST(ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS DOUBLE) AS sum_charge,
+  CAST(ROUND(AVG(l_quantity), 4) AS DOUBLE) AS avg_qty,
+  CAST(ROUND(AVG(l_extendedprice), 4) AS DOUBLE) AS avg_price,
+  CAST(ROUND(AVG(l_discount), 4) AS DOUBLE) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("tpch_q1_pricing", _Q1_ORACLE)
+def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                      * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_Q3_ORACLE = """
+SELECT o_orderkey,
+  CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS revenue,
+  strftime(o_orderdate, '%Y-%m-%d') AS odate
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate > TIMESTAMP '1997-01-01'
+GROUP BY o_orderkey, o_orderdate
+HAVING SUM(l_extendedprice * (1 - l_discount)) > 50000
+"""
+
+
+@register("tpch_q3_revenue", _Q3_ORACLE)
+def tpch_q3_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority style join+agg; dimension side broadcast."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")
+    )
+    l = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp")
+    )
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__raw"),
+        )
+        .where(F.col("__raw") > 50000)
+        .select(
+            "o_orderkey", "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"),
+        )
+    )
+
+
+_EVT_TUMBLE_ORACLE = """
+SELECT CAST(FLOOR(epoch_us(ts) / 1000000 / 300) AS BIGINT) AS win,
+       event_type, COUNT(*) AS n, CAST(ROUND(SUM(value), 4) AS DOUBLE) AS total
+FROM events GROUP BY 1, 2
+"""
+
+
+@register("events_tumbling", _EVT_TUMBLE_ORACLE)
+def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 5-min window aggregation (batch form of the streaming
+    windowed agg; event-time = ts)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.withColumn("win", F.floor(F.unix_timestamp("ts") / 300))
+        .groupBy("win", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total"))
+    )
+
+
+_EVT_SESS_ORACLE = """
+WITH x AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN (epoch_us(ts) / 1000000.0)
+              - LAG(epoch_us(ts) / 1000000.0) OVER w > 600.0 THEN 1
+         WHEN LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+y AS (
+  SELECT *, SUM(ns) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+  ) AS session_id FROM x
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       COUNT(*) AS n_events,
+       MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us
+FROM y GROUP BY user_id, session_id
+"""
+
+
+@register("events_sessionize", _EVT_SESS_ORACLE)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (600 s) via lag + running sum — the
+    batch equivalent of a session window."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet ts is NTZ; session tz is UTC, so LTZ cast == DuckDB's naive epoch
+    sec = F.col("ts").cast("timestamp_ltz").cast("double")
+    ns = F.when(
+        (sec - F.lag(sec).over(w) > 600.0) | F.lag("ts").over(w).isNull(), 1
+    ).otherwise(0)
+    y = e.withColumn("ns", ns).withColumn(
+        "session_id",
+        F.sum("ns").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    return y.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(F.unix_micros(F.col("ts").cast("timestamp_ltz"))).alias("start_us"),
+        F.max(F.unix_micros(F.col("ts").cast("timestamp_ltz"))).alias("end_us"),
+    )
+
+
+_EVT_TOPK_ORACLE = """
+SELECT event_type, event_id, value, rank FROM (
+  SELECT event_type, event_id, value,
+    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rank
+  FROM events
+) WHERE rank <= 5
+"""
+
+
+@register("events_topk", _EVT_TOPK_ORACLE)
+def events_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return (
+        e.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("event_type", "event_id", "value", "rank")
+    )
+
+
+# ===========================================================================
+# D. Training-data ops: dedup / similarity / text analysis
+# ===========================================================================
+
+_DEDUP_EXACT_ORACLE = f"""
+WITH all_docs AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT) + 10000, text FROM documents WHERE doc_id % 5 = 0
+)
+SELECT content_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keeper_id
+FROM (SELECT {_h64('text')} AS content_hash, doc_id FROM all_docs)
+GROUP BY content_hash HAVING COUNT(*) > 1
+"""
+
+
+@register("dedup_exact", _DEDUP_EXACT_ORACLE)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    dups = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    return dedup.exact_duplicates(docs.unionByName(dups))
+
+
+def _text_stats_oracle() -> str:
+    toks = "string_split(text, ' ')"
+    stop_list = ", ".join(f"'{s}'" for s in text_ops.STOPWORDS)
+    lang_hits = {
+        lang: f"len(list_filter({toks}, t -> t IN ({', '.join(repr(w) for w in ws)})))"
+        for lang, ws in sorted(text_ops.LANG_MARKERS.items())
+    }
+    gl = "greatest(" + ", ".join(f"h_{l}" for l in lang_hits) + ")"
+    lang_case = "CASE WHEN " + gl + " = 0 THEN 'und' " + " ".join(
+        f"WHEN h_{l} = {gl} THEN '{l}'" for l in lang_hits
+    ) + " END"
+    tri = (f"list_transform(range(1, greatest(2, len(toks) - 1)), "
+           f"i -> array_to_string(list_slice(toks, i, i + 2), ' '))")
+    return f"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text, {toks} AS toks,
+  {" , ".join(f'{h} AS h_{l}' for l, h in lang_hits.items())}
+  FROM documents
+)
+SELECT doc_id,
+  len(toks) AS n_tokens,
+  len(list_distinct(toks)) AS n_uniq,
+  CAST(ROUND(0.4 * least(1.0, len(toks) / 100.0)
+      + 0.3 * (len(list_distinct(toks)) * 1.0 / len(toks))
+      + 0.3 * least(1.0, 5.0 * (len(list_filter(toks, t -> t IN ({stop_list}))) * 1.0 / len(toks))),
+    6) AS DOUBLE) AS quality,
+  {lang_case} AS lang_pred,
+  {_h64('text')} AS content_fp,
+  (SELECT MIN({_h64('s')}) FROM UNNEST({tri}) AS t(s)) AS shingle_fp
+FROM d
+"""
+
+
+@register("text_stats", _text_stats_oracle())
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, quality scoring, language-ID, fingerprinting —
+    one native projection over the documents table."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        text_ops.token_count("text").alias("n_tokens"),
+        text_ops.unique_token_count("text").alias("n_uniq"),
+        text_ops.quality_score("text").alias("quality"),
+        text_ops.lang_id("text").alias("lang_pred"),
+        text_ops.content_fingerprint("text").alias("content_fp"),
+        text_ops.shingle_fingerprint("text", 3).alias("shingle_fp"),
+    )
+
+
+_MINHASH_H = 8
+_MINHASH_BANDS = 4
+
+
+def _minhash_oracle() -> str:
+    rows = _MINHASH_H // _MINHASH_BANDS
+    toks = "string_split(text, ' ')"
+    bi = (f"list_transform(range(1, greatest(2, len({toks}))), "
+          f"i -> array_to_string(list_slice({toks}, i, i + 1), ' '))")
+    sig_terms = ", ".join(
+        f"list_min(list_transform(sh, s -> {_h64('s', seed=k)}))"
+        for k in range(_MINHASH_H)
+    )
+    band_selects = " UNION ALL ".join(
+        f"""SELECT id, {b} AS band, md5({" || ',' || ".join(
+            f"CAST(sig[{b * rows + r + 1}] AS VARCHAR)" for r in range(rows)
+        )}) AS key FROM sigs"""
+        for b in range(_MINHASH_BANDS)
+    )
+    return f"""
+WITH all_docs AS (
+  SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT) + 10000, text || ' join hash'
+  FROM documents WHERE doc_id % 5 = 0
+),
+sh AS (SELECT id, list_distinct({bi}) AS sh FROM all_docs),
+sigs AS (SELECT id, [{sig_terms}] AS sig FROM sh),
+banded AS ({band_selects}),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+)
+SELECT p.id_a, p.id_b,
+  CAST(ROUND(len(list_filter(range(1, {_MINHASH_H + 1}),
+        j -> sa.sig[j] = sb.sig[j])) / {_MINHASH_H}.0, 6) AS DOUBLE) AS est_sim
+FROM pairs p
+JOIN sigs sa ON sa.id = p.id_a
+JOIN sigs sb ON sb.id = p.id_b
+"""
+
+
+@register("dedup_minhash_lsh", _minhash_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate candidates: banding turns O(n^2) into
+    per-band bucket joins; exact DuckDB oracle via portable hashes."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    dups = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat("text", F.lit(" join hash")).alias("text"),
+    )
+    return dedup.lsh_candidate_pairs(
+        docs.unionByName(dups), num_hashes=_MINHASH_H,
+        bands=_MINHASH_BANDS, shingle_n=2,
+    )
+
+
+_SIMHASH_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS tok
+  FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents)
+),
+h AS (SELECT doc_id, {_h64('tok')} AS h FROM tok),
+bits AS (SELECT doc_id, h, UNNEST(range(0, 32)) AS bit FROM h),
+s AS (
+  SELECT doc_id, bit, SUM(((h >> CAST(bit AS INT)) % 2) * 2 - 1) AS s
+  FROM bits GROUP BY doc_id, bit
+)
+SELECT doc_id,
+  CAST(SUM(CASE WHEN s > 0 THEN CAST(POW(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+FROM s GROUP BY doc_id
+"""
+
+
+@register("dedup_simhash", _SIMHASH_ORACLE)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return dedup.simhash_relational(docs, bits=32)
+
+
+_NGRAM_JACCARD_ORACLE = """
+WITH sh AS (
+  SELECT DISTINCT CAST(doc_id AS BIGINT) AS id, UNNEST(string_split(text, ' ')) AS sh
+  FROM documents
+),
+sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b,
+  CAST(ROUND(common * 1.0 / (sa.sz + sb.sz - common), 6) AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE common * 1.0 / (sa.sz + sb.sz - common) >= 0.6
+"""
+
+
+@register("dedup_ngram_jaccard", _NGRAM_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return dedup.ngram_jaccard_pairs(docs, n=1, threshold=0.6)
+
+
+def _emb_cos_sql(av: str, bv: str, dim: int = 64) -> str:
+    dot = (f"list_sum(list_transform(range(1, {dim + 1}), "
+           f"j -> CAST({av}[j] AS DOUBLE) * CAST({bv}[j] AS DOUBLE)))")
+    na = (f"sqrt(list_sum(list_transform(range(1, {dim + 1}), "
+          f"j -> CAST({av}[j] AS DOUBLE) * CAST({av}[j] AS DOUBLE))))")
+    nb = (f"sqrt(list_sum(list_transform(range(1, {dim + 1}), "
+          f"j -> CAST({bv}[j] AS DOUBLE) * CAST({bv}[j] AS DOUBLE))))")
+    return f"({dot} / ({na} * {nb}))"
+
+
+_EMB_TOPK_ORACLE = f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id, embedding AS v FROM embeddings),
+s AS (
+  SELECT q_id, vec_id, CAST(ROUND({_emb_cos_sql('qv', 'v')}, 6) AS DOUBLE) AS cos
+  FROM q, c
+)
+SELECT q_id, vec_id, cos, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM s
+) WHERE rank <= 5
+"""
+
+
+@register("embedding_cosine_topk", _EMB_TOPK_ORACLE)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: the exact ANN baseline."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return similarity.cosine_topk(emb, queries, k=5)
+
+
+_EMB_NEARDUP_ORACLE = f"""
+WITH all_e AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id % 50 = 0
+),
+a AS (SELECT vec_id AS id, embedding AS v FROM all_e),
+p AS (
+  SELECT a.id AS id_a, b.id AS id_b, CAST(ROUND({_emb_cos_sql('a.v', 'b.v')}, 6) AS DOUBLE) AS cos
+  FROM a, a b WHERE a.id < b.id
+)
+SELECT id_a, id_b, cos FROM p WHERE cos >= 0.99
+"""
+
+
+@register("embedding_neardup", _EMB_NEARDUP_ORACLE)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    planted = emb.where(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label"
+    )
+    return dedup.embedding_neardup_pairs(
+        emb.unionByName(planted), threshold=0.99
+    ).select("id_a", "id_b", "cos")
+
+
+def _ann_oracle(n_bits: int = 4, dim: int = 64) -> str:
+    def bucket_sql(v: str) -> str:
+        terms = []
+        for j in range(n_bits):
+            comp = (f"((CAST(('0x' || substr(md5('hp{j}:' || CAST(j2 AS VARCHAR)),1,15)) AS BIGINT) % 2001) - 1000) / 1000.0")
+            proj = (f"list_sum(list_transform(range(0, {dim}), "
+                    f"j2 -> CAST({v}[j2 + 1] AS DOUBLE) * {comp}))")
+            terms.append(f"(CASE WHEN {proj} > 0 THEN {2 ** j} ELSE 0 END)")
+        return "(" + " + ".join(terms) + ")"
+
+    return f"""
+WITH c AS (SELECT vec_id, embedding AS v, {bucket_sql('embedding')} AS bucket FROM embeddings),
+q AS (SELECT vec_id AS q_id, embedding AS qv, {bucket_sql('embedding')} AS bucket
+      FROM embeddings WHERE vec_id < 5),
+s AS (
+  SELECT q.q_id, c.vec_id, CAST(ROUND({_emb_cos_sql('q.qv', 'c.v')}, 6) AS DOUBLE) AS cos
+  FROM q JOIN c ON q.bucket = c.bucket
+)
+SELECT q_id, vec_id, cos, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM s
+) WHERE rank <= 5
+"""
+
+
+@register("ann_signlsh_topk", _ann_oracle())
+def ann_signlsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN: the 100 TB similarity-search path — the
+    bucket equijoin replaces the brute-force cross product."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return similarity.signlsh_topk(emb, queries, k=5, n_bits=4, dim=64)
+
+
+_CHUNK_FIXED_ORACLE = """
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id, toks, UNNEST(range(1, greatest(1, len(toks)) + 1, 20)) AS start FROM d)
+SELECT doc_id, CAST((start - 1) / 20 AS INT) AS chunk_id,
+       array_to_string(list_slice(toks, start, start + 19), ' ') AS chunk
+FROM s
+"""
+
+
+@register("chunks_fixed", _CHUNK_FIXED_ORACLE)
+def chunks_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    out = text_ops.chunk_fixed_words(docs, "text", 20)
+    return out.select("doc_id", F.col("chunk_id").cast("int").alias("chunk_id"), "chunk")
+
+
+_CHUNK_SLIDE_ORACLE = """
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id, toks,
+        UNNEST(range(1, greatest(1, len(toks) - 29) + 1, 10)) AS start FROM d)
+SELECT doc_id, CAST((start - 1) / 10 AS INT) AS chunk_id,
+       array_to_string(list_slice(toks, start, start + 29), ' ') AS chunk
+FROM s
+"""
+
+
+@register("chunks_sliding", _CHUNK_SLIDE_ORACLE)
+def chunks_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    out = text_ops.chunk_sliding_window(docs, "text", window=30, step=10)
+    return out.select("doc_id", F.col("chunk_id").cast("int").alias("chunk_id"), "chunk")
+
+
+_REGEX_ORACLE = r"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, value, COUNT(*) AS n, 'sword' AS label
+FROM (
+  SELECT doc_id, UNNEST(regexp_extract_all(text, '\bs[a-z]+')) AS value
+  FROM documents
+) GROUP BY doc_id, value
+"""
+
+
+@register("regex_extract", _REGEX_ORACLE)
+def regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RegexExtractionStrategy as native regexp_extract_all."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return text_ops.regex_extract_tokens(docs, "text", r"\\bs[a-z]+", "sword")
+
+
+_TERM_STATS_ORACLE = """
+SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc) AS df
+FROM (
+  SELECT doc_id AS doc, UNNEST(string_split(text, ' ')) AS term FROM documents
+) GROUP BY term
+"""
+
+
+@register("adaptive_term_stats", _TERM_STATS_ORACLE)
+def adaptive_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return adaptive.term_stats(_t(spark, sf_dir, "documents"))
+
+
+_COVERAGE_TERMS = ["join", "hash", "spark", "zzz_absent"]
+
+_COVERAGE_ORACLE = f"""
+WITH n AS (SELECT COUNT(*) AS n FROM documents),
+ts AS (
+  SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc) AS df
+  FROM (SELECT doc_id AS doc, UNNEST(string_split(text, ' ')) AS term FROM documents)
+  GROUP BY term
+),
+s AS (
+  SELECT (df * 1.0 / n.n) * (1.0 + 0.5 * log10(1.0 + tf * 1.0 / n.n)) AS s
+  FROM ts, n WHERE term IN ({", ".join(repr(t) for t in _COVERAGE_TERMS)})
+)
+SELECT CAST(ROUND(sqrt(SUM(s) / {len(_COVERAGE_TERMS)}.0), 6) AS DOUBLE) AS coverage FROM s
+"""
+
+
+@register("adaptive_coverage", _COVERAGE_ORACLE)
+def adaptive_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return adaptive.coverage_score(_t(spark, sf_dir, "documents"), _COVERAGE_TERMS)
+
+
+@register("multimodal_features", None)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary blob column -> mapInPandas feature
+    extraction (deterministic fake decoder; real decoders are container
+    stubs). Rows-only check — byte-level stride sums aren't SQL."""
+    from crawl4ai_spark.ops.multimodal import extract_features
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    blobs = docs.select(
+        i.cast("string").alias("doc_id"),
+        F.format_string("https://cdn.example.com/m/%d.bin", i).alias("media_ref"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (i % 3).cast("int") + 1,
+        ).alias("kind"),
+        F.encode("text", "UTF-8").alias("blob"),
+    )
+    feats = extract_features(blobs)
+    return feats.select(
+        "doc_id", "kind", "n_bytes",
+        F.round(F.element_at("features", 1), 4).alias("f0"),
+    )
+
+
+_RESIZE_ORACLE = f"""
+WITH docs AS ({_DOCS_I}),
+m AS (
+  SELECT i, 100 + CAST(i % 40 AS INT) * 20 AS w, 80 + CAST(i % 30 AS INT) * 25 AS h
+  FROM docs WHERE i % 3 = 0
+)
+SELECT CAST(i AS VARCHAR) AS doc_id,
+  CAST(ROUND(w * CASE WHEN greatest(w, h) > 256 THEN 256.0 / greatest(w, h) ELSE 1.0 END) AS INT) AS target_w,
+  CAST(ROUND(h * CASE WHEN greatest(w, h) > 256 THEN 256.0 / greatest(w, h) ELSE 1.0 END) AS INT) AS target_h
+FROM m
+"""
+
+
+@register("multimodal_resize_plan", _RESIZE_ORACLE)
+def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize planning from typed metadata (decode-free)."""
+    from crawl4ai_spark.ops.multimodal import resize_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    blobs = docs.where(i % 3 == 0).select(
+        i.cast("string").alias("doc_id"),
+        F.lit("m").alias("media_ref"),
+        F.lit("image").alias("kind"),
+        F.lit(None).cast("binary").alias("blob"),
+        F.struct(
+            F.lit("png").alias("format"),
+            (F.lit(100) + (i % 40).cast("int") * 20).alias("width"),
+            (F.lit(80) + (i % 30).cast("int") * 25).alias("height"),
+            F.lit(0).alias("duration_ms"),
+        ).alias("meta"),
+    )
+    return resize_plan(blobs).select("doc_id", "target_w", "target_h")
+
+
+# ===========================================================================
+# entry points used by __spark_entry__.py
+# ===========================================================================
+
+def flagship(spark: SparkSession) -> DataFrame:
+    """Driver smoke query: BFS crawl over the sf0.001 synthetic corpus."""
+    return crawl_bfs(spark, "/root/testdata/sf0.001")
+
+
+def queries() -> dict:
+    return dict(QUERIES)
+
+
+def oracle_sql() -> dict:
+    return dict(ORACLES)

@@ -1,0 +1,146 @@
+"""Unit tests for the training-data ops (dedup / similarity / text /
+multimodal) on tiny in-memory tables."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawl4ai_spark.ops import dedup, multimodal, similarity
+from crawl4ai_spark.ops import text as text_ops
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),          # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat today"),    # near dup of 1
+        (4, "completely different words entirely unrelated content"),
+        (5, "der hund und die katze und das haus ist gross"),        # german-ish
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(docs):
+    out = dedup.exact_duplicates(docs).collect()
+    assert len(out) == 1
+    assert out[0].n_copies == 2 and out[0].keeper_id == 1
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {(r.id_a, r.id_b): r.est_sim
+             for r in dedup.lsh_candidate_pairs(docs, num_hashes=8, bands=4,
+                                                shingle_n=2).collect()}
+    assert pairs.get((1, 2)) == 1.0          # identical docs: full signature match
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+    near = pairs.get((1, 3)) or pairs.get((3, 1))
+    if near is not None:                     # near-dup may or may not band-collide
+        assert near > 0.2
+
+
+def test_simhash_identical_for_identical_text(docs):
+    out = {r.doc_id: r.simhash for r in dedup.simhash_relational(docs).collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[4]
+    # expression form agrees with the relational form
+    wide = {r.doc_id: r.sh for r in docs.select(
+        "doc_id", dedup.simhash("text", bits=32).alias("sh")).collect()}
+    assert wide == out
+
+
+def test_ngram_jaccard(docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard
+             for r in dedup.ngram_jaccard_pairs(docs, n=1, threshold=0.1).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert 0.5 < pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]),
+        (5, [1.0, 0.0, 0.0, 0.0]),   # dup of 1
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_embedding_neardup(emb):
+    pairs = {(r.id_a, r.id_b): r.cos
+             for r in dedup.embedding_neardup_pairs(emb, threshold=0.99).collect()}
+    assert pairs[(1, 5)] == 1.0
+    assert all(a != 3 and b != 3 for a, b in pairs)
+
+
+def test_cosine_topk_self_first(emb):
+    q = emb.where("vec_id = 1").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    out = similarity.cosine_topk(emb, q, k=3).orderBy("rank").collect()
+    assert [r.vec_id for r in out][:2] == [1, 5]   # cos=1.0 ties, id tie-break
+    assert out[0].cos == 1.0
+
+
+def test_signlsh_same_vector_same_bucket(spark, emb):
+    b = emb.select(
+        "vec_id", similarity.sign_lsh_bucket(F.col("embedding"), n_bits=4, dim=4)
+        .alias("bucket")).collect()
+    buckets = {r.vec_id: r.bucket for r in b}
+    assert buckets[1] == buckets[5]
+    assert all(0 <= v < 16 for v in buckets.values())
+
+
+def test_text_analysis(docs):
+    out = {r.doc_id: r for r in docs.select(
+        "doc_id",
+        text_ops.token_count("text").alias("n"),
+        text_ops.unique_token_count("text").alias("u"),
+        text_ops.quality_score("text").alias("q"),
+        text_ops.lang_id("text").alias("lang"),
+        text_ops.content_fingerprint("text").alias("fp"),
+    ).collect()}
+    assert out[1].n == 9 and out[1].u == 8
+    assert 0.0 <= out[1].q <= 1.0
+    assert out[1].lang == "en" and out[5].lang == "de"
+    assert out[1].fp == out[2].fp != out[3].fp
+
+
+def test_chunking(spark):
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(45)))], "doc_id long, text string")
+    fixed = text_ops.chunk_fixed_words(df, "text", 20).collect()
+    assert len(fixed) == 3
+    assert fixed[0].chunk.split()[0] == "w0"
+    assert len(fixed[2].chunk.split()) == 5
+    slid = text_ops.chunk_sliding_window(df, "text", window=30, step=10).collect()
+    assert len(slid) == 2  # starts 1, 11 (last_start = 45-29 = 16)
+    assert slid[1].chunk.split()[0] == "w10"
+
+
+def test_multimodal_fake_features_deterministic():
+    f1 = multimodal.fake_features(b"hello world", "image")
+    f2 = multimodal.fake_features(b"hello world", "image")
+    assert f1 == f2 and len(f1) == multimodal.FEATURE_DIM
+    assert multimodal.fake_features(b"", "image") == [0.0] * multimodal.FEATURE_DIM
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_real(b"x", "image")
+
+
+def test_multimodal_plumbing(spark):
+    blobs = spark.createDataFrame(
+        [("d1", "m1", "image", b"abc", ("png", 512, 256, 0)),
+         ("d2", "m2", "video", b"def", ("mp4", 0, 0, 3500))],
+        multimodal.MEDIA_BLOB_SCHEMA,
+    )
+    feats = {r.doc_id: r for r in multimodal.extract_features(blobs).collect()}
+    assert feats["d1"].n_bytes == 3
+    assert len(feats["d1"].features) == multimodal.FEATURE_DIM
+
+    frames = multimodal.frame_sample_plan(blobs, every_ms=1000).collect()
+    assert [r.frame_ts_ms for r in frames] == [0, 1000, 2000, 3000]
+
+    resize = multimodal.resize_plan(blobs, max_side=256).collect()
+    assert (resize[0].target_w, resize[0].target_h) == (256, 128)
