@@ -76,6 +76,21 @@ class BloomSeenSet:
         self.n_shards = n_shards
         self.m_bits = m_bits
         self.k = k
+        self._cached: tuple[int, dict] | None = None  # (table version, shard map)
+
+    def _shard_map(self, spark: SparkSession) -> dict:
+        """Blob map keyed by shard id, cached per table version so each
+        round pays at most one driver collect."""
+        v = self.table.version
+        if self._cached is not None and self._cached[0] == v:
+            return self._cached[1]
+        prev = self.table.read(spark)
+        m = {} if prev is None else {
+            int(r.shard_id): (bytes(r.bloom), int(r.n_items))
+            for r in prev.toPandas().itertuples()
+        }
+        self._cached = (v, m)
+        return m
 
     def shard_col(self, hash_col):
         return F.pmod(hash_col, F.lit(self.n_shards)).cast("int")
@@ -92,13 +107,7 @@ class BloomSeenSet:
             F.col("url_hash"),
         )
 
-        prev_pdf = prev.toPandas() if prev is not None else pd.DataFrame(
-            {"shard_id": [], "bloom": [], "n_items": []}
-        )
-        prev_map = {
-            int(r.shard_id): (bytes(r.bloom), int(r.n_items))
-            for r in prev_pdf.itertuples()
-        }
+        prev_map = self._shard_map(spark)
         bc_prev = spark.sparkContext.broadcast(prev_map)
 
         def merge_shard(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -124,6 +133,7 @@ class BloomSeenSet:
             )
             updated = updated.unionByName(untouched)
         self.table.overwrite(updated)
+        self._cached = None  # next probe reloads the new version
 
     # -- probe: split candidates into definitely-new vs maybe-seen ---------
     def probe(self, spark: SparkSession, cands: DataFrame, hash_col: str = "url_hash") -> DataFrame:
@@ -131,12 +141,11 @@ class BloomSeenSet:
         executors (total size n_shards * m_bits/8 — a few hundred MB at
         10^10 scale, well within executor memory); probing is a
         grouped-by-shard Arrow pass."""
-        prev = self.table.read(spark)
-        if prev is None:
-            return cands.withColumn("maybe_seen", F.lit(False))
         shard_map = {
-            int(r.shard_id): bytes(r.bloom) for r in prev.toPandas().itertuples()
+            sid: blob for sid, (blob, _n) in self._shard_map(spark).items()
         }
+        if not shard_map:
+            return cands.withColumn("maybe_seen", F.lit(False))
         bc = spark.sparkContext.broadcast(shard_map)
         m_bits, k, n_shards = self.m_bits, self.k, self.n_shards
 

@@ -102,3 +102,43 @@ class HttpFetcher:
 
         fetched = frontier.mapInPandas(run, schema)
         return fetched.withColumn("success", F.col("status_code") == 200)
+
+
+class CachedFetcher:
+    """Result-cache read gate around any fetcher (CacheMode semantics,
+    /root/reference/crawl4ai/cache_context.py:59-87 + result cache read
+    async_database.py:288-379): frontier rows whose canonical URL is
+    already in the cache table are served from it (left-semi/anti join
+    split); only misses reach the inner fetcher. The cache WRITE side is
+    the engine's pages append itself (async_webcrawler.py:393-394).
+
+    `cache` is any DataFrame with (url_norm, html, status_code) — in
+    practice the pages table of a previous crawl, so re-crawls are
+    incremental for free.
+    """
+
+    def __init__(self, inner, cache: DataFrame | None, read_enabled: bool = True):
+        self.inner = inner
+        self.cache = cache
+        self.read_enabled = read_enabled
+
+    def fetch(self, frontier: DataFrame) -> DataFrame:
+        if not self.read_enabled or self.cache is None:
+            return self.inner.fetch(frontier)
+        c = self.cache.select(
+            F.col("url_norm").alias("__c_url"),
+            F.col("html").alias("html"),
+            F.col("status_code").alias("status_code"),
+        ).dropDuplicates(["__c_url"])
+        hits = (
+            frontier.join(c, frontier["url_norm"] == c["__c_url"], "inner")
+            .drop("__c_url")
+            .withColumn("fetch_ms", F.lit(0))
+            .withColumn("success", F.col("status_code") == 200)
+            .withColumn("from_cache", F.lit(True))
+        )
+        misses = frontier.join(
+            c.select("__c_url"), frontier["url_norm"] == c["__c_url"], "left_anti"
+        )
+        fetched = self.inner.fetch(misses).withColumn("from_cache", F.lit(False))
+        return fetched.unionByName(hits.select(*fetched.columns))

@@ -70,6 +70,12 @@ class CrawlConfig:
     n_shards: int = 32
     bloom_m_bits: int = 1 << 20
     bloom_k: int = 7
+    # bloom engages only once the exact seen set crosses this size (it
+    # is a PRE-filter for a big anti-join; below this the anti-join is
+    # already cheap and shard maintenance would be pure overhead). On
+    # crossing, shards are bulk-built from the seen table once. Tests
+    # set 0 to exercise the bloom path from round 0.
+    bloom_min_seen: int = 50_000
     # loop control
     max_rounds: int = 1000
     # scoring/filtering: url Column -> Column
@@ -108,8 +114,6 @@ class CrawlEngine:
         self.cfg = config or CrawlConfig()
         self.robots = robots
         self.t_frontier = warehouse.table("frontier")
-        self.t_marked = warehouse.table("frontier_marked")
-        self.t_newcands = warehouse.table("frontier_newcands")
         self.t_seen = warehouse.table("seen")
         self.t_pages = warehouse.table("pages")
         self.t_host = warehouse.table("host_state")
@@ -118,6 +122,8 @@ class CrawlEngine:
         self.bloom = BloomSeenSet(
             self.t_bloom, self.cfg.n_shards, self.cfg.bloom_m_bits, self.cfg.bloom_k
         )
+        self._seen_count = 0
+        self._bloom_built = False
 
     # ------------------------------------------------------------------
     def _frontier_row(self, df: DataFrame) -> DataFrame:
@@ -144,6 +150,8 @@ class CrawlEngine:
     def init_from_seeds(self, seeds: list[str]) -> None:
         from crawl4ai_spark.functions.urlnorm import normalize_url_for_deep_crawl
 
+        self._seen_count = 0
+        self._bloom_built = False
         norm = [normalize_url_for_deep_crawl(u, u) for u in seeds]
         df = self.spark.createDataFrame(
             [(u,) for u in norm if u], "url_norm string"
@@ -174,6 +182,8 @@ class CrawlEngine:
             self.init_from_seeds(seeds)
             return 0, 0
         last = max(committed, key=lambda r: r["round"])
+        self._seen_count = last.get("seen_count", 0)
+        self._bloom_built = last.get("bloom_built", False)
         for name, tbl in [
             ("frontier", self.t_frontier), ("seen", self.t_seen),
             ("pages", self.t_pages), ("host_state", self.t_host),
@@ -226,8 +236,10 @@ class CrawlEngine:
         # drop hosts that exhausted retries entirely (RateLimiter gives up,
         # async_dispatcher.py:70-72)
         marked = marked.where(F.coalesce(F.col("fail_count"), F.lit(0)) <= cfg.max_retries)
-        self.t_marked.overwrite(marked)
-        marked = self.t_marked.read(self.spark)
+        # scratch state: cache (recompute-on-loss is fine, it's derived
+        # from the committed frontier) — a parquet round-trip here costs
+        # two extra jobs per round
+        marked = marked.persist()
 
         batch = marked.where("selected")
         deferred = marked.where(~F.col("selected")).withColumn(
@@ -235,41 +247,56 @@ class CrawlEngine:
         )
 
         # -- gate + fetch + extract ---------------------------------------
-        gated = apply_robots_gate(batch, self.robots)
-        to_fetch = gated.where("robots_allowed")
-        denied = gated.where(~F.col("robots_allowed"))
+        carry = ["url_norm", "host", "depth", "parent_url", "score",
+                 "priority", "retry_count", "status_code", "fetch_ms", "success"]
+        if self.robots is None:
+            to_fetch, denied = batch, None
+        else:
+            gated = apply_robots_gate(batch, self.robots)
+            to_fetch = gated.where("robots_allowed")
+            denied = gated.where(~F.col("robots_allowed"))
 
         fetched = self.fetcher.fetch(
             to_fetch.select("url_norm", "host", "depth", "parent_url",
                             "score", "priority", "retry_count")
         ).withColumn("url", F.col("url_norm"))
 
-        carry = ["url_norm", "host", "depth", "parent_url", "score",
-                 "priority", "retry_count", "status_code", "fetch_ms", "success"]
         pages = extract_pages(fetched, keep_cols=carry).drop("url")
 
-        denied_pages = (
-            denied.select("url_norm", "host", "depth", "parent_url", "score",
-                          "priority", "retry_count")
-            .withColumn("status_code", F.lit(403))
-            .withColumn("fetch_ms", F.lit(0))
-            .withColumn("success", F.lit(False))
-            .withColumn("spans", F.lit(None).cast(pages.schema["spans"].dataType))
-            .withColumn("markdown", F.lit(None).cast("string"))
-            .withColumn("links", F.lit(None).cast(pages.schema["links"].dataType))
-            .withColumn("media", F.lit(None).cast(pages.schema["media"].dataType))
-            .withColumn("tables", F.lit(None).cast(pages.schema["tables"].dataType))
-            .withColumn("metadata", F.lit(None).cast(pages.schema["metadata"].dataType))
-        )
-        round_pages = pages.unionByName(
-            denied_pages.select(*pages.columns)
-        ).withColumn("round", F.lit(rnd))
+        round_pages = pages
+        if denied is not None:
+            denied_pages = (
+                denied.select("url_norm", "host", "depth", "parent_url", "score",
+                              "priority", "retry_count")
+                .withColumn("status_code", F.lit(403))
+                .withColumn("fetch_ms", F.lit(0))
+                .withColumn("success", F.lit(False))
+                .withColumn("spans", F.lit(None).cast(pages.schema["spans"].dataType))
+                .withColumn("markdown", F.lit(None).cast("string"))
+                .withColumn("links", F.lit(None).cast(pages.schema["links"].dataType))
+                .withColumn("media", F.lit(None).cast(pages.schema["media"].dataType))
+                .withColumn("tables", F.lit(None).cast(pages.schema["tables"].dataType))
+                .withColumn("metadata", F.lit(None).cast(pages.schema["metadata"].dataType))
+            )
+            round_pages = pages.unionByName(denied_pages.select(*pages.columns))
+        round_pages = round_pages.withColumn("round", F.lit(rnd))
 
         # materialize the round once; everything downstream re-reads parquet
         self.t_pages.append(round_pages)
         round_df = self.t_pages.read(self.spark).where(F.col("round") == rnd)
 
-        n_success = round_df.where("success").count()
+        # one aggregation yields both the per-partition metrics rows and
+        # the round's success count (no separate count job)
+        metric_rows = (
+            round_df.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(
+                F.count(F.lit(1)).alias("urls_processed"),
+                F.sum(F.when(~F.col("success"), 1).otherwise(0)).alias("urls_failed"),
+                F.expr("percentile_approx(fetch_ms, 0.5)").alias("fetch_ms_p50"),
+            )
+            .collect()
+        )
+        n_success = sum(r.urls_processed - r.urls_failed for r in metric_rows)
         crawled = crawled_before + n_success
 
         # -- discover ------------------------------------------------------
@@ -293,6 +320,9 @@ class CrawlEngine:
         if new_frontier is not None:
             next_frontier = next_frontier.unionByName(new_frontier)
         self.t_frontier.overwrite(next_frontier)
+        marked.unpersist()
+        if new_frontier is not None:
+            new_frontier.unpersist()
 
         # -- host_state + metrics ------------------------------------------
         if cfg.base_host_budget is not None:
@@ -304,15 +334,15 @@ class CrawlEngine:
             )
             self.t_host.overwrite(hs)
 
-        metrics = (
-            round_df.groupBy(F.spark_partition_id().alias("partition_id"))
-            .agg(
-                F.count(F.lit(1)).alias("urls_processed"),
-                F.sum(F.when(~F.col("success"), 1).otherwise(0)).alias("urls_failed"),
-                F.expr("percentile_approx(fetch_ms, 0.5)").alias("fetch_ms_p50"),
-            )
-            .withColumn("round", F.lit(rnd))
-            .withColumn("wall_s", F.lit(time.monotonic() - t0))
+        wall = time.monotonic() - t0
+        metrics = self.spark.createDataFrame(
+            [
+                (int(r.partition_id), int(r.urls_processed), int(r.urls_failed),
+                 int(r.fetch_ms_p50 or 0), rnd, wall)
+                for r in metric_rows
+            ],
+            "partition_id int, urls_processed long, urls_failed long, "
+            "fetch_ms_p50 long, round int, wall_s double",
         )
         self.t_metrics.append(metrics)
 
@@ -322,6 +352,8 @@ class CrawlEngine:
                 "round": rnd,
                 "pages_crawled": crawled,
                 "n_success": n_success,
+                "seen_count": self._seen_count,
+                "bloom_built": self._bloom_built,
                 "wall_s": time.monotonic() - t0,
                 "tables": {
                     "frontier": self.t_frontier.snapshot_data(),
@@ -381,10 +413,19 @@ class CrawlEngine:
         if cfg.score_threshold != float("-inf"):
             cands = cands.where(F.col("score") >= cfg.score_threshold)
 
-        # seen dedup: bloom pre-filter shrinks the exact anti-join
+        # seen dedup: bloom pre-filter shrinks the exact anti-join.
+        # The bloom engages adaptively: below bloom_min_seen the exact
+        # anti-join is cheap and shard maintenance would be pure
+        # overhead; on crossing the threshold the shards are bulk-built
+        # from the seen table ONCE, then maintained incrementally.
         cands = cands.withColumn("url_hash", url_hash(F.col("url_norm")))
         seen = self.t_seen.read(self.spark)
-        if cfg.use_bloom:
+        if cfg.use_bloom and not self._bloom_built \
+                and self._seen_count >= cfg.bloom_min_seen:
+            if seen is not None:
+                self.bloom.add_hashes(self.spark, seen.select("url_hash"))
+            self._bloom_built = True
+        if cfg.use_bloom and self._bloom_built:
             probed = self.bloom.probe(self.spark, cands)
             fresh = probed.where(~F.col("maybe_seen")).drop("maybe_seen")
             maybe = probed.where(F.col("maybe_seen")).drop("maybe_seen")
@@ -404,16 +445,16 @@ class CrawlEngine:
         cands = cands.withColumn("retry_count", F.lit(0)).withColumn(
             "wait_rounds", F.lit(0)
         )
-        # materialize once (scratch snapshot), then seen/bloom/frontier all
-        # read the same parquet instead of recomputing probe+anti-join
-        self.t_newcands.overwrite(self._frontier_row(cands))
-        new_frontier = self.t_newcands.read(self.spark)
+        # cache once, then seen/bloom/frontier all reuse the same rows
+        # instead of recomputing probe+anti-join (scratch — derived state)
+        new_frontier = self._frontier_row(cands).persist()
 
         # enqueue-time seen add (bfs_strategy.py:107,121)
         add = new_frontier.select(
             "url_hash", "url_norm", "depth", "parent_url"
         ).withColumn("round", F.lit(rnd))
         self.t_seen.append(add)
-        if cfg.use_bloom:
+        self._seen_count += new_frontier.count()  # cached df — cheap
+        if cfg.use_bloom and self._bloom_built:
             self.bloom.add_hashes(self.spark, new_frontier.select("url_hash"))
         return new_frontier

@@ -79,9 +79,20 @@ def lsh_candidate_pairs(
     signature), never document text.
     """
     rows = num_hashes // bands
+    # Relational signature build: explode shingles once, then num_hashes
+    # vectorized min-aggregations in ONE groupBy (map-side partial
+    # combines). The pure-expression form (minhash_signature) recomputes
+    # the shingle array per seed inside nested HOFs, which falls out of
+    # whole-stage codegen — ~20x slower at corpus scale.
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_ngrams(text_col, shingle_n))).alias("sh"),
+    )
     sig = (
-        df.select(F.col(id_col).alias("id"),
-                  minhash_signature(text_col, num_hashes, shingle_n).alias("sig"))
+        sh.groupBy("id")
+        .agg(*[F.min(hash64(F.col("sh"), seed=i)).alias(f"h{i}")
+               for i in range(num_hashes)])
+        .select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
     )
     banded = sig.select(
         "id", "sig",

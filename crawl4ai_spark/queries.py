@@ -1139,3 +1139,246 @@ def queries() -> dict:
 
 def oracle_sql() -> dict:
     return dict(ORACLES)
+
+
+# ===========================================================================
+# E. BM25 / link scoring / structured extraction / adaptive extras
+# ===========================================================================
+
+_BM25_TERMS = ["hash", "join", "spark"]
+
+
+def _bm25_oracle() -> str:
+    per_term = []
+    for t in _BM25_TERMS:  # sorted order == Spark's fold order
+        tf = f"CAST(len(list_filter(toks, x -> x = '{t}')) AS DOUBLE)"
+        dfq = f"(SELECT COUNT(*) FROM base b2 WHERE list_contains(b2.toks, '{t}'))"
+        idf = f"ln((n.n - {dfq} + 0.5) / ({dfq} + 0.5) + 1.0)"
+        per_term.append(
+            f"{idf} * {tf} * 2.2 / ({tf} + 1.2 * (1.0 - 0.75 + 0.75 * dl / n.avgdl))"
+        )
+    return f"""
+WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, string_split(text, ' ') AS toks,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+  FROM documents
+),
+n AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM base)
+SELECT doc_id, CAST(ROUND(0.0 + {' + '.join(per_term)}, 6) AS DOUBLE) AS bm25
+FROM base, n
+"""
+
+
+@register("bm25_scores", _bm25_oracle())
+def bm25_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus BM25 (ContentRelevanceFilter / BM25ContentFilter / seeder
+    scoring semantics): stats pass + broadcast projection pass."""
+    from crawl4ai_spark.ops.bm25 import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return bm25_scores(docs, _BM25_TERMS)
+
+
+_LINKSCORE_ORACLE = f"""
+WITH docs AS ({_DOCS_I}),
+l AS (
+  SELECT i,
+    trim(substr(text, 1, CAST(i % 12 AS INT))) AS lt,
+    (CASE WHEN i % 2 = 0 THEN 'https://s.example.com' ELSE 'http://s.example.com' END ||
+     CASE CAST(i % 4 AS INT) WHEN 0 THEN '/docs/' WHEN 1 THEN '/admin/' WHEN 2 THEN '/blog/' ELSE '/x/' END ||
+     repeat('p/', CAST(i % 7 AS INT)) || CAST(i AS VARCHAR)) AS url,
+    CASE WHEN i % 3 = 0 THEN source ELSE '' END AS title,
+    CASE WHEN i % 5 = 0 THEN 'nav-item' ELSE 'content ad-box' END AS cls,
+    CASE WHEN i % 7 = 0 THEN 'nofollow' ELSE '' END AS rel
+  FROM docs
+),
+s AS (
+  SELECT i, url,
+    0.0
+    + CASE WHEN length(trim(title)) > 3 THEN 1.0 ELSE 0.0 END
+    + CASE WHEN contains(lower(cls), 'nav') OR contains(lower(cls), 'menu')
+             OR contains(lower(cls), 'primary') OR contains(lower(cls), 'main')
+             OR contains(lower(cls), 'important') THEN 1.5 ELSE 0.0 END
+    - CASE WHEN contains(lower(cls), 'ad') OR contains(lower(cls), 'sponsor')
+             OR contains(lower(cls), 'track') OR contains(lower(cls), 'promo')
+             OR contains(lower(cls), 'banner') THEN 1.0 ELSE 0.0 END
+    + CASE WHEN contains(lower(rel), 'canonical') OR contains(lower(rel), 'next')
+             OR contains(lower(rel), 'prev') OR contains(lower(rel), 'chapter') THEN 1.0 ELSE 0.0 END
+    - CASE WHEN contains(lower(rel), 'nofollow') OR contains(lower(rel), 'sponsored')
+             OR contains(lower(rel), 'ugc') THEN 0.5 ELSE 0.0 END
+    + CASE WHEN contains(lower(url), '/docs/') OR contains(lower(url), '/api/')
+             OR contains(lower(url), '/guide/') OR contains(lower(url), '/tutorial/')
+             OR contains(lower(url), '/reference/') OR contains(lower(url), '/manual/') THEN 2.0
+           WHEN contains(lower(url), '/blog/') OR contains(lower(url), '/article/')
+             OR contains(lower(url), '/post/') OR contains(lower(url), '/news/') THEN 1.0
+           ELSE 0.0 END
+    - CASE WHEN contains(lower(url), '/admin/') OR contains(lower(url), '/login/')
+             OR contains(lower(url), '/cart/') OR contains(lower(url), '/checkout/')
+             OR contains(lower(url), '/track/') OR contains(lower(url), '/click/') THEN 1.5 ELSE 0.0 END
+    + CASE WHEN (length(url) - length(replace(url, '/', '')) - 2) <= 2 THEN 1.0
+           WHEN (length(url) - length(replace(url, '/', '')) - 2) > 5 THEN -0.5
+           ELSE 0.0 END
+    + CASE WHEN starts_with(url, 'https://') THEN 0.5 ELSE 0.0 END
+    + CASE WHEN length(lt) > 3 THEN 1.0 ELSE 0.0 END
+    + CASE WHEN len(list_filter(string_split(lt, ' '), w -> w != '')) >= 2 THEN 0.5 ELSE 0.0 END
+    + CASE WHEN len(list_filter(string_split(lt, ' '), w -> w != '')) >= 4 THEN 0.5 ELSE 0.0 END
+    - CASE WHEN lower(lt) IN ('click here', 'read more', 'more info', 'link', 'here') THEN 1.0 ELSE 0.0 END
+    AS raw
+  FROM l
+)
+SELECT i AS doc_id,
+  CAST(ROUND(greatest(0.0, least(raw, 10.0)), 6) AS DOUBLE) AS intrinsic,
+  CAST(ROUND(greatest(0.0, least(greatest(0.0, least(raw, 10.0)) * 0.7
+       + least((i % 10) / 10.0 * 10.0, 10.0) * 0.3, 10.0)), 6) AS DOUBLE) AS total
+FROM s
+"""
+
+
+@register("link_scores", _LINKSCORE_ORACLE)
+def link_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link intrinsic + total scoring (utils.py:3143-3303) as pure
+    column algebra over synthetic link attributes."""
+    from crawl4ai_spark.functions.linkscore import (
+        link_intrinsic_score,
+        total_link_score,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    link_text = F.trim(F.expr("substring(text, 1, cast(doc_id % 12 as int))"))
+    url = F.concat(
+        F.when(i % 2 == 0, F.lit("https://s.example.com")).otherwise(
+            F.lit("http://s.example.com")),
+        F.element_at(
+            F.array(F.lit("/docs/"), F.lit("/admin/"), F.lit("/blog/"), F.lit("/x/")),
+            (i % 4).cast("int") + 1,
+        ),
+        F.repeat(F.lit("p/"), (i % 7).cast("int")),
+        i.cast("string"),
+    )
+    title = F.when(i % 3 == 0, F.col("source")).otherwise(F.lit(""))
+    cls = F.when(i % 5 == 0, F.lit("nav-item")).otherwise(F.lit("content ad-box"))
+    rel = F.when(i % 7 == 0, F.lit("nofollow")).otherwise(F.lit(""))
+    intrinsic = link_intrinsic_score(link_text, url, title, cls, rel)
+    contextual = (i % 10).cast("double") / 10.0
+    return docs.select(
+        i.alias("doc_id"),
+        F.round(intrinsic, 6).alias("intrinsic"),
+        F.round(
+            total_link_score(intrinsic, contextual, True, True), 6
+        ).alias("total"),
+    )
+
+
+def _jsoncss_oracle() -> str:
+    url_i = _url_sql("i")
+    # json.dumps(sort_keys=True) layout: {"img": ..., "link0": ..., "title": ...}
+    return f"""
+WITH docs AS ({_DOCS_I}),
+cnt AS ({_CNT}),
+k AS (SELECT i, {_KIDS_SQL} AS ks FROM docs, cnt)
+SELECT {url_i} AS url,
+  ('{{"img": "https://cdn.example.com/img/' || CAST(i AS VARCHAR) || '.png", '
+   || '"link0": ' || CASE WHEN len(ks) > 0
+        THEN '"go ' || CAST(ks[1] AS VARCHAR) || '"' ELSE 'null' END
+   || ', "title": "Doc ' || CAST(i AS VARCHAR) || '"}}') AS row_json
+FROM k
+"""
+
+
+@register("jsoncss_extract", _jsoncss_oracle())
+def jsoncss_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-driven JSON-CSS extraction over the synthetic corpus:
+    baseSelector body, fields h1 text / img@src / first link text."""
+    from crawl4ai_spark.extraction.jsoncss import json_css_extract
+
+    corpus = build_corpus(_t(spark, sf_dir, "documents"))
+    schema = {
+        "baseSelector": "body",
+        "fields": [
+            {"name": "title", "selector": "h1", "type": "text"},
+            {"name": "img", "selector": "img", "type": "attribute",
+             "attribute": "src"},
+            {"name": "link0", "selector": "li a", "type": "text",
+             "default": None},
+        ],
+    }
+    return json_css_extract(
+        corpus.withColumnRenamed("url_norm", "url"), schema
+    )
+
+
+_EMAIL_PATTERN = r"[\w.+-]+@[\w-]+\.[\w.-]+"
+
+_REGEX_EMAIL_ORACLE = rf"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, value, COUNT(*) AS n, 'email' AS label
+FROM (
+  SELECT doc_id, UNNEST(regexp_extract_all(
+    text || ' contact admin' || CAST(doc_id AS VARCHAR) || '@mail.example.com now',
+    '{_EMAIL_PATTERN}')) AS value
+  FROM documents
+) GROUP BY doc_id, value
+"""
+
+
+@register("regex_email", _REGEX_EMAIL_ORACLE)
+def regex_email(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RegexExtractionStrategy built-in Email pattern
+    (extraction_strategy.py:1706-1865) over augmented text."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(
+            "text", F.lit(" contact admin"), F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com now"),
+        ).alias("text"),
+    )
+    return text_ops.regex_extract_tokens(docs, "text", _EMAIL_PATTERN.replace("\\", "\\\\"), "email")
+
+
+_CONSIST_ORACLE = """
+WITH sub AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents WHERE doc_id < 40),
+sh AS (SELECT DISTINCT doc_id AS id, UNNEST(string_split(text, ' ')) AS sh FROM sub),
+sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY a.id, b.id
+),
+j AS (
+  SELECT CAST(ROUND(common * 1.0 / (sa.sz + sb.sz - common), 6) AS DOUBLE) AS jaccard
+  FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+)
+SELECT CAST(ROUND(SUM(jaccard) / (40 * 39 / 2), 6) AS DOUBLE) AS consistency FROM j
+"""
+
+
+@register("adaptive_consistency", _CONSIST_ORACLE)
+def adaptive_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise-Jaccard consistency (adaptive_crawler.py:347-372) over a
+    40-doc subset — exact O(n^2) form; MinHash is the scale path."""
+    sub = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 40).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return adaptive.consistency_score(sub)
+
+
+_SATURATION_ORACLE = """
+WITH hist AS (SELECT CAST(doc_id AS BIGINT) AS round, 100 - 10 * doc_id AS new_terms
+              FROM documents WHERE doc_id < 6),
+f AS (SELECT new_terms AS first_new FROM hist ORDER BY round ASC LIMIT 1),
+l AS (SELECT new_terms AS last_new FROM hist ORDER BY round DESC LIMIT 1)
+SELECT CAST(ROUND(1.0 - last_new / greatest(first_new, 1), 6) AS DOUBLE) AS saturation
+FROM f, l
+"""
+
+
+@register("adaptive_saturation", _SATURATION_ORACLE)
+def adaptive_saturation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-term saturation over round history (adaptive_crawler.py:374-389)."""
+    hist = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 6).select(
+        F.col("doc_id").cast("long").alias("round"),
+        (F.lit(100) - 10 * F.col("doc_id")).alias("new_terms"),
+    )
+    return adaptive.saturation_from_rounds(hist)

@@ -1,0 +1,99 @@
+"""URL seeding sources — the discovery front of the engine.
+
+Re-expresses AsyncUrlSeeder (/root/reference/crawl4ai/async_url_seeder.py)
+as DataFrame pipelines over seed tables:
+
+  - sitemap XML -> URL table (seeder fetches robots->sitemap chains,
+    async_url_seeder.py:765-957; here the fetched XML bodies are rows
+    of a table — Common-Crawl/WARC-style — and <loc> extraction is a
+    native regexp, no XML parser needed for the sitemap subset);
+  - nonsense-URL filtering (async_url_seeder.py:1284-1378);
+  - glob pattern matching on url / canonical / www-stripped forms
+    (async_url_seeder.py:81-86);
+  - dedup + max_urls cap (async_url_seeder.py:344-401) as
+    distinct + score-ordered limit;
+  - BM25 relevance scoring against head text via ops/bm25 +
+    relevance sort (async_url_seeder.py:441, 645-677).
+"""
+
+from __future__ import annotations
+
+import fnmatch
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# junk suffixes/patterns the reference's _is_nonsense_url drops
+_NONSENSE_EXT = (
+    "css js json xml rss atom ico png jpg jpeg gif svg webp woff woff2 ttf "
+    "eot mp3 mp4 avi zip gz tar rar exe dmg"
+).split()
+_NONSENSE_PATTERNS = [
+    r"/wp-json/", r"/wp-admin/", r"/feed/?$", r"/cdn-cgi/", r"\.well-known/",
+    r"[?&]replytocom=", r"/xmlrpc\.php",
+]
+
+
+def seeds_from_sitemaps(sitemap_bodies: DataFrame, body_col: str = "body") -> DataFrame:
+    """sitemap XML bodies -> one row per <loc> URL. Nested sitemap
+    indexes resolve by feeding their <loc>s back through the fetch
+    stage (table-in, table-out — the loop lives outside, like the
+    crawl rounds)."""
+    return sitemap_bodies.select(
+        F.explode(
+            F.expr(f"regexp_extract_all({body_col}, '<loc>\\\\s*([^<]+?)\\\\s*</loc>', 1)")
+        ).alias("url")
+    ).distinct()
+
+
+def drop_nonsense_urls(urls: DataFrame, url_col: str = "url") -> DataFrame:
+    """Boolean-filter translation of _is_nonsense_url
+    (async_url_seeder.py:1284-1378): static-asset extensions, API/feed
+    endpoints, tracker junk."""
+    u = F.lower(F.col(url_col))
+    path = F.coalesce(F.parse_url(F.col(url_col), F.lit("PATH")), F.lit(""))
+    ext = F.lower(F.regexp_extract(path, r"\.([A-Za-z0-9]+)$", 1))
+    pred = ~ext.isin(_NONSENSE_EXT)
+    for pat in _NONSENSE_PATTERNS:
+        pred = pred & ~u.rlike(pat)
+    return urls.where(pred)
+
+
+def match_url_patterns(urls: DataFrame, pattern: str, url_col: str = "url") -> DataFrame:
+    """fnmatch glob on the url, its canonical form, and the www-stripped
+    form (async_url_seeder.py:81-86) — first match wins."""
+    rx = fnmatch.translate(pattern)
+    # Java regex: fnmatch.translate emits (?s:...)\Z which Java accepts
+    u = F.col(url_col)
+    stripped = F.regexp_replace(u, r"^(https?://)www\.", r"$1")
+    return urls.where(u.rlike(rx) | stripped.rlike(rx))
+
+
+def seed_pipeline(
+    urls: DataFrame,
+    url_col: str = "url",
+    pattern: str | None = None,
+    query_terms: list[str] | None = None,
+    head_text_col: str | None = None,
+    max_urls: int | None = None,
+) -> DataFrame:
+    """The seeder's full filter→score→cap pipeline as one declarative
+    plan: nonsense filter, glob match, distinct, optional BM25 scoring
+    on head text, relevance sort + cap (ORDER BY score DESC LIMIT n —
+    a TakeOrdered, not a global sort)."""
+    out = drop_nonsense_urls(urls, url_col)
+    if pattern:
+        out = match_url_patterns(out, pattern, url_col)
+    out = out.dropDuplicates([url_col])
+    if query_terms and head_text_col:
+        from crawl4ai_spark.ops.bm25 import bm25_scores
+
+        scored = bm25_scores(
+            out.select(F.col(url_col), F.col(head_text_col).alias("text")),
+            query_terms, text_col="text", id_col=url_col,
+        )
+        out = out.join(scored.withColumnRenamed("bm25", "relevance_score"), url_col)
+        out = out.orderBy(F.col("relevance_score").desc(), F.col(url_col).asc())
+    if max_urls is not None and max_urls > 0:
+        out = out.limit(max_urls)
+    return out

@@ -49,7 +49,7 @@ def crawl_multiset(eng, spark):
 
 
 def test_bfs_matches_reference(spark, tmp_path, corpus_pages, web):
-    cfg = CrawlConfig(max_depth=3, use_bloom=True, bloom_m_bits=1 << 16, n_shards=8)
+    cfg = CrawlConfig(max_depth=3, use_bloom=True, bloom_min_seen=0, bloom_m_bits=1 << 16, n_shards=8)
     eng, stats = run_engine(spark, tmp_path, corpus_pages, cfg)
 
     log, visited = reference_bfs(web, SEED_NORM, max_depth=3)
@@ -124,7 +124,7 @@ def test_politeness_budget_limits_per_round(spark, tmp_path, corpus_pages, web):
 
 
 def test_resume_equals_uninterrupted(spark, tmp_path, corpus_pages):
-    cfg = CrawlConfig(max_depth=3, use_bloom=True, bloom_m_bits=1 << 16, n_shards=8)
+    cfg = CrawlConfig(max_depth=3, use_bloom=True, bloom_min_seen=0, bloom_m_bits=1 << 16, n_shards=8)
 
     eng_full, _ = run_engine(spark, tmp_path / "full", corpus_pages, cfg)
     full_pages = crawl_multiset(eng_full, spark)
@@ -134,7 +134,7 @@ def test_resume_equals_uninterrupted(spark, tmp_path, corpus_pages):
 
     # partial run: stop after 2 rounds
     cfg_partial = CrawlConfig(
-        max_depth=3, use_bloom=True, bloom_m_bits=1 << 16, n_shards=8, max_rounds=2
+        max_depth=3, use_bloom=True, bloom_min_seen=0, bloom_m_bits=1 << 16, n_shards=8, max_rounds=2
     )
     corpus_df = fakeshop_spark_df(spark, n_sites=1, n_categories=3, n_subcats=2, n_products=2)
     wh = Warehouse(str(tmp_path / "part" / "wh"))

@@ -1,0 +1,111 @@
+"""Structured Streaming surface, URL seeder pipeline, cached fetcher."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawl4ai_spark.engine.fetch import CachedFetcher, CorpusFetcher
+from crawl4ai_spark.sources.seeder import (
+    drop_nonsense_urls,
+    match_url_patterns,
+    seed_pipeline,
+    seeds_from_sitemaps,
+)
+
+
+def test_sitemap_loc_extraction(spark):
+    xml = """<?xml version="1.0"?><urlset>
+      <url><loc>https://a.test/p1</loc></url>
+      <url><loc> https://a.test/p2 </loc></url>
+      <url><loc>https://a.test/p1</loc></url>
+    </urlset>"""
+    df = spark.createDataFrame([(xml,)], "body string")
+    urls = sorted(r.url for r in seeds_from_sitemaps(df).collect())
+    assert urls == ["https://a.test/p1", "https://a.test/p2"]
+
+
+def test_nonsense_filter_and_patterns(spark):
+    rows = [
+        ("https://a.test/article/one",),
+        ("https://a.test/styles.css",),
+        ("https://a.test/wp-json/wp/v2",),
+        ("https://www.a.test/article/two",),
+        ("https://a.test/feed/",),
+    ]
+    df = spark.createDataFrame(rows, "url string")
+    kept = sorted(r.url for r in drop_nonsense_urls(df).collect())
+    assert kept == [
+        "https://a.test/article/one", "https://www.a.test/article/two",
+    ]
+    matched = sorted(
+        r.url for r in match_url_patterns(df, "https://a.test/article/*").collect()
+    )
+    # www-stripped form matches too (async_url_seeder.py:81-86)
+    assert matched == [
+        "https://a.test/article/one", "https://www.a.test/article/two",
+    ]
+
+
+def test_seed_pipeline_bm25_sort_and_cap(spark):
+    rows = [
+        ("https://a.test/docs/spark", "spark spark tuning guide"),
+        ("https://a.test/docs/other", "cooking recipes here now"),
+        ("https://a.test/docs/join", "spark join optimization"),
+        ("https://a.test/app.js", "irrelevant"),
+    ]
+    df = spark.createDataFrame(rows, "url string, head string")
+    out = seed_pipeline(
+        df, pattern="https://a.test/docs/*", query_terms=["spark"],
+        head_text_col="head", max_urls=2,
+    ).collect()
+    assert [r.url for r in out] == [
+        "https://a.test/docs/spark", "https://a.test/docs/join",
+    ]
+    assert out[0].relevance_score > out[1].relevance_score > 0
+
+
+def test_cached_fetcher_serves_hits_without_refetch(spark):
+    corpus = spark.createDataFrame(
+        [("https://c.test/a", "<html>a</html>", 200, 1),
+         ("https://c.test/b", "<html>b</html>", 200, 1)],
+        "url_norm string, html string, status_code int, fetch_ms int",
+    )
+    cache = spark.createDataFrame(
+        [("https://c.test/a", "<html>cached-a</html>", 200)],
+        "url_norm string, html string, status_code int",
+    )
+    frontier = spark.createDataFrame(
+        [("https://c.test/a",), ("https://c.test/b",)], "url_norm string")
+    out = {r.url_norm: r for r in
+           CachedFetcher(CorpusFetcher(corpus), cache).fetch(frontier).collect()}
+    assert out["https://c.test/a"].html == "<html>cached-a</html>"
+    assert out["https://c.test/a"].from_cache is True
+    assert out["https://c.test/b"].html == "<html>b</html>"
+    assert out["https://c.test/b"].from_cache is False
+
+
+def test_streaming_windowed_counts(spark, tmp_path):
+    from crawl4ai_spark.engine.tables import SnapshotTable
+    from crawl4ai_spark.streaming.events import stream_to_table, windowed_event_counts
+
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        [("2024-01-01 00:01:00", "click", 1.0),
+         ("2024-01-01 00:02:00", "click", 2.0),
+         ("2024-01-01 00:07:00", "view", 3.0)],
+        "ts string, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .parquet(src)
+    )
+    agg = windowed_event_counts(stream, window="5 minutes", watermark="10 minutes")
+    table = SnapshotTable(str(tmp_path / "out"))
+    q = stream_to_table(agg, table, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    rows = {(r.event_type, str(r.window_start)): (r.n, r.total)
+            for r in table.read(spark).collect()}
+    assert rows[("click", "2024-01-01 00:00:00")] == (2, 3.0)
+    assert rows[("view", "2024-01-01 00:05:00")] == (1, 3.0)

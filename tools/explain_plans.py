@@ -1,0 +1,145 @@
+"""Generate PLANS.md: formatted physical plans for the engine's key
+operators, with the properties each plan must exhibit at 100 TB scale
+(pushed filters, pruned schemas, broadcast joins, no stray shuffles).
+
+Usage: python tools/explain_plans.py  (writes PLANS.md at repo root)
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.01"
+
+
+def fmt(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    out = buf.getvalue()
+    # keep it readable: drop exchange ids details beyond 120 lines
+    lines = out.splitlines()
+    return "\n".join(lines[:120])
+
+
+def main():
+    from pyspark.sql import functions as F
+
+    from crawl4ai_spark.session import build_session
+
+    spark = build_session(master="local[4]", shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    sections = []
+
+    # 1. scan pruning + pushdown
+    l = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q1 = (
+        l.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+    )
+    sections.append((
+        "Aggregation scan: filter pushdown + column pruning",
+        "PushedFilters must include the shipdate <=; ReadSchema must list only "
+        "the 4 referenced columns (of 11); partial HashAggregate before the "
+        "exchange (map-side combine).",
+        fmt(q1),
+    ))
+
+    # 2. politeness window (salted two-stage + winners join)
+    from crawl4ai_spark.corpus.webgen import N_HOSTS, url_expr
+    from crawl4ai_spark.engine.politeness import select_fetch_batch
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    i = F.col("doc_id").cast("long")
+    frontier = docs.select(
+        url_expr(i).alias("url_norm"),
+        F.format_string("site%d.example.com", F.pmod(i, F.lit(N_HOSTS))).alias("host"),
+        F.pmod(i, F.lit(4)).cast("int").alias("depth"),
+        (F.pmod(i * 37, F.lit(100)).cast("double") / 10.0).alias("priority"),
+        F.lit(0).alias("retry_count"), F.lit(0).alias("wait_rounds"),
+        F.pmod(i, F.lit(8)).cast("int").alias("salt"),
+    )
+    marked = select_fetch_batch(frontier, None, base_budget=3)
+    sections.append((
+        "Politeness window: salted two-stage top-k + winners join",
+        "Two Window nodes — the first partitioned by (host, salt) so a hub "
+        "host never lands in one task, the second by host over at most "
+        "budget*n_salts survivors; the winners set joins back so deferred "
+        "rows are retained (no data loss). AQE may broadcast the winners.",
+        fmt(marked),
+    ))
+
+    # 3. broadcast dim join (robots gate)
+    from crawl4ai_spark.engine.robots import apply_robots_gate
+
+    robots = spark.createDataFrame(
+        [("site3.example.com", ["/page/12"], ["/page/1"])],
+        "host string, allow array<string>, disallow array<string>",
+    )
+    fr = frontier.withColumn("path", F.format_string("/page/%d", i))
+    sections.append((
+        "Robots gate: broadcast dimension join",
+        "BroadcastHashJoin / BroadcastExchange on the robots dim — the rules "
+        "table ships to executors; no shuffle of the frontier.",
+        fmt(apply_robots_gate(fr, robots)),
+    ))
+
+    # 4. seen-set anti-join
+    seen = frontier.select(F.xxhash64("url_norm").alias("url_hash")).limit(100)
+    cands = frontier.select(F.xxhash64("url_norm").alias("url_hash"), "url_norm")
+    sections.append((
+        "Seen-set exact anti-join (post-bloom residue)",
+        "LeftAnti join; at this size broadcast, at 10^10 scale a shuffled "
+        "hash join whose left side the bloom pre-filter already shrank to "
+        "dups + false positives.",
+        fmt(cands.join(seen, "url_hash", "left_anti")),
+    ))
+
+    # 5. cosine top-k: broadcast + partial TakeOrdered
+    from crawl4ai_spark.ops.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    sections.append((
+        "Similarity search: broadcast query set + per-query window",
+        "Queries broadcast (BroadcastNestedLoopJoin); corpus never shuffles "
+        "for scoring; the only exchange is the per-q_id window for top-k.",
+        fmt(cosine_topk(emb, q, k=5)),
+    ))
+
+    # 6. minhash LSH band join
+    from crawl4ai_spark.ops.dedup import lsh_candidate_pairs
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+    sections.append((
+        "MinHash LSH: band-bucket equijoin instead of O(n^2)",
+        "Signatures built by ONE groupBy with 8 vectorized min-aggs "
+        "(map-side partial combine), then a self-equijoin on (band, key) — "
+        "only same-bucket candidates shuffle; document text never joins.",
+        fmt(lsh_candidate_pairs(d, num_hashes=8, bands=4, shingle_n=2)),
+    ))
+
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "PLANS.md"), "w") as f:
+        f.write(
+            "# PLANS — physical-plan evidence for the scale-critical operators\n\n"
+            "Generated by `python tools/explain_plans.py` (Spark "
+            f"{spark.version}, AQE on). Each section states the property the\n"
+            "plan must keep at 100 TB and shows the actual plan at sf0.01.\n"
+        )
+        for title, why, plan in sections:
+            f.write(f"\n## {title}\n\n{why}\n\n```\n{plan}\n```\n")
+    print("PLANS.md written:", len(sections), "sections")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
