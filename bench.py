@@ -46,25 +46,25 @@ def bench_crawl(spark, sf_dir: str, max_depth: int = 6) -> tuple[float, int]:
     return time.monotonic() - t0, stats["pages_crawled"]
 
 
-def bench_crawl_mass(spark, sf_dir: str) -> tuple[float, int]:
+def bench_crawl_mass(spark, sf_dir: str, replicas: int = 4) -> tuple[float, int]:
     """Frontier THROUGHPUT (the north-star metric's shape): one round
-    over the whole corpus as frontier — politeness windows, robots-free
-    fetch join, span extraction, pages persist, discovery + seen
-    anti-join all run on a full-size frontier, the way production
+    over a replicated corpus as frontier — politeness windows,
+    robots-free fetch join, span extraction, pages persist, discovery +
+    seen anti-join all run on a full-size frontier, the way production
     rounds do. Returns (seconds, urls_processed)."""
     from pyspark.sql import functions as F
 
-    from crawl4ai_spark.corpus.webgen import build_corpus, url_expr
+    from crawl4ai_spark.corpus.webgen import build_corpus, replicate_docs, url_expr
     from crawl4ai_spark.engine.fetch import CorpusFetcher
     from crawl4ai_spark.engine.frontier import CrawlConfig, CrawlEngine
     from crawl4ai_spark.engine.tables import Warehouse
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    n = docs.count()
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = replicate_docs(base, replicas)
+    n = base.count() * replicas
     corpus = build_corpus(docs, n_docs=n).cache()
     corpus.count()  # materialize outside the timed section
-    seeds = [r.u for r in docs.select(
-        url_expr(F.col("doc_id").cast("long")).alias("u")).collect()]
+    seed_df = docs.select(url_expr(F.col("doc_id").cast("long")).alias("url"))
     wh = Warehouse(tempfile.mkdtemp(prefix="c4as_mass_"))
     eng = CrawlEngine(
         spark, wh, CorpusFetcher(corpus),
@@ -72,7 +72,7 @@ def bench_crawl_mass(spark, sf_dir: str) -> tuple[float, int]:
                     base_host_budget=n // 7 + 1, n_salts=8, max_rounds=1),
     )
     t0 = time.monotonic()
-    eng.run(seeds)
+    eng.run(seed_df=seed_df)
     return time.monotonic() - t0, n
 
 

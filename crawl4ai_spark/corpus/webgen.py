@@ -82,3 +82,17 @@ def build_corpus(docs: DataFrame, n_docs: int | None = None) -> DataFrame:
 
 def seed_url() -> str:
     return "https://site0.example.com/page/0"
+
+
+def replicate_docs(docs: DataFrame, replicas: int, n_docs: int | None = None) -> DataFrame:
+    """Deterministically scale the doc table: replica k shifts doc_id by
+    k*n, so the graph formulas stay pure functions of the id space."""
+    from pyspark.sql import functions as F
+
+    if n_docs is None:
+        n_docs = docs.count()
+    reps = docs.sparkSession.range(replicas).select(F.col("id").alias("k"))
+    return docs.crossJoin(reps).select(
+        (F.col("doc_id").cast("long") + F.col("k") * n_docs).alias("doc_id"),
+        "text", "source",
+    )

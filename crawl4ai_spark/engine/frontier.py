@@ -148,18 +148,37 @@ class CrawlEngine:
         )
 
     def init_from_seeds(self, seeds: list[str]) -> None:
-        from crawl4ai_spark.functions.urlnorm import normalize_url_for_deep_crawl
+        """Small seed lists (the reference's entry shape)."""
+        self.init_from_seed_df(
+            self.spark.createDataFrame([(u,) for u in seeds], "url string")
+        )
+
+    def init_from_seed_df(self, seed_df: DataFrame, url_col: str = "url") -> None:
+        """Seed-table path: canonicalization runs distributed via the
+        vectorized UDF — a 10^10-URL seed list never exists driver-side
+        (the reference's seeder feeds arun_many the same way,
+        async_url_seeder.py -> async_webcrawler.py:653)."""
+        from crawl4ai_spark.functions.urlnorm import normalize_urls_udf
 
         self._seen_count = 0
         self._bloom_built = False
-        norm = [normalize_url_for_deep_crawl(u, u) for u in seeds]
-        df = self.spark.createDataFrame(
-            [(u,) for u in norm if u], "url_norm string"
-        ).withColumn("depth", F.lit(0)).withColumn(
-            "parent_url", F.lit(None).cast("string")
-        ).withColumn("score", F.lit(0.0)).withColumn(
-            "retry_count", F.lit(0)
-        ).withColumn("wait_rounds", F.lit(0))
+        # spread seeds before the normalize UDF: seed tables often arrive
+        # in few partitions (one sitemap file, one export), which would
+        # serialize canonicalization into one task
+        seed_df = seed_df.repartition(
+            self.spark.sparkContext.defaultParallelism, F.col(url_col)
+        )
+        df = (
+            seed_df.select(
+                normalize_urls_udf(F.col(url_col), F.col(url_col)).alias("url_norm")
+            )
+            .where(F.col("url_norm").isNotNull())
+            .withColumn("depth", F.lit(0))
+            .withColumn("parent_url", F.lit(None).cast("string"))
+            .withColumn("score", F.lit(0.0))
+            .withColumn("retry_count", F.lit(0))
+            .withColumn("wait_rounds", F.lit(0))
+        )
         frontier = self._frontier_row(df)
         self.t_frontier.overwrite(frontier)
         # reference quirk kept: `visited` starts EMPTY — seeds enter the
@@ -172,14 +191,18 @@ class CrawlEngine:
         self.t_seen.overwrite(seen)
 
     # ------------------------------------------------------------------
-    def resume_or_init(self, seeds: list[str]) -> tuple[int, int]:
+    def resume_or_init(self, seeds: list[str] | None,
+                       seed_df: DataFrame | None = None) -> tuple[int, int]:
         """Returns (next_round, pages_crawled_so_far); rolls tables back
         to the last committed round checkpoint if a crash left them
         ahead."""
         rounds = self.wh.read_rounds()
         committed = [r for r in rounds if r.get("committed")]
         if not committed:
-            self.init_from_seeds(seeds)
+            if seed_df is not None:
+                self.init_from_seed_df(seed_df)
+            else:
+                self.init_from_seeds(seeds or [])
             return 0, 0
         last = max(committed, key=lambda r: r["round"])
         self._seen_count = last.get("seen_count", 0)
@@ -195,9 +218,10 @@ class CrawlEngine:
         return last["round"] + 1, last["pages_crawled"]
 
     # ------------------------------------------------------------------
-    def run(self, seeds: list[str]) -> dict:
+    def run(self, seeds: list[str] | None = None,
+            seed_df: DataFrame | None = None) -> dict:
         cfg = self.cfg
-        start_round, crawled = self.resume_or_init(seeds)
+        start_round, crawled = self.resume_or_init(seeds, seed_df)
         stats = {"rounds": 0, "pages_crawled": crawled}
         for rnd in range(start_round, cfg.max_rounds):
             if cfg.max_pages is not None and crawled >= cfg.max_pages:

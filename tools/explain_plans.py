@@ -82,7 +82,9 @@ def main():
         [("site3.example.com", ["/page/12"], ["/page/1"])],
         "host string, allow array<string>, disallow array<string>",
     )
-    fr = frontier.withColumn("path", F.format_string("/page/%d", i))
+    fr = frontier.withColumn(
+        "path", F.regexp_extract("url_norm", "https://[^/]+(/.*)$", 1)
+    )
     sections.append((
         "Robots gate: broadcast dimension join",
         "BroadcastHashJoin / BroadcastExchange on the robots dim — the rules "
