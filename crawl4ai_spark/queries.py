@@ -528,8 +528,8 @@ _Q1_ORACLE = """
 SELECT l_returnflag, l_linestatus,
   CAST(ROUND(SUM(l_quantity), 2) AS DOUBLE) AS sum_qty,
   CAST(ROUND(SUM(l_extendedprice), 2) AS DOUBLE) AS sum_base_price,
-  CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS sum_disc_price,
-  CAST(ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS DOUBLE) AS sum_charge,
+  CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS DOUBLE) AS sum_disc_price,
+  CAST(ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS DOUBLE) AS sum_charge,
   CAST(ROUND(AVG(l_quantity), 4) AS DOUBLE) AS avg_qty,
   CAST(ROUND(AVG(l_extendedprice), 4) AS DOUBLE) AS avg_price,
   CAST(ROUND(AVG(l_discount), 4) AS DOUBLE) AS avg_disc,
@@ -549,11 +549,11 @@ def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
             .alias("sum_disc_price"),
             F.round(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))
-                      * (1 + F.col("l_tax"))), 2
+                      * (1 + F.col("l_tax"))), 6
             ).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
@@ -565,7 +565,7 @@ def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q3_ORACLE = """
 SELECT o_orderkey,
-  CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS revenue,
+  CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS DOUBLE) AS revenue,
   strftime(o_orderdate, '%Y-%m-%d') AS odate
 FROM customer
 JOIN orders ON c_custkey = o_custkey
@@ -594,7 +594,7 @@ def tpch_q3_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey", "o_orderdate")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
             ).alias("revenue"),
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__raw"),
         )
@@ -1382,3 +1382,14 @@ def adaptive_saturation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(100) - 10 * F.col("doc_id")).alias("new_terms"),
     )
     return adaptive.saturation_from_rounds(hist)
+
+
+@register("fit_markdown", None)
+def fit_markdown_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PruningContentFilter fit_markdown over the synthetic corpus —
+    rows-only (heuristic DOM pruning isn't single-statement SQL)."""
+    from crawl4ai_spark.extraction.pruning import fit_pages
+
+    corpus = build_corpus(_t(spark, sf_dir, "documents"))
+    out = fit_pages(corpus.withColumnRenamed("url_norm", "url"))
+    return out.select("url", F.length("fit_markdown").alias("fit_len"))
