@@ -397,6 +397,10 @@ class CrawlEngine:
         cfg = self.cfg
         if cfg.max_pages is not None and crawled >= cfg.max_pages:
             return None
+        if cfg.max_depth <= 0:
+            # every frontier row is at depth >= 0, so discovery can never
+            # admit a candidate — skip the pages re-scan entirely
+            return None
 
         links = (
             round_df.where("success")
