@@ -1393,3 +1393,36 @@ def fit_markdown_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = build_corpus(_t(spark, sf_dir, "documents"))
     out = fit_pages(corpus.withColumnRenamed("url_norm", "url"))
     return out.select("url", F.length("fit_markdown").alias("fit_len"))
+
+
+_DOMAUTH_ORACLE = f"""
+WITH docs AS ({_DOCS_I})
+SELECT i AS doc_id,
+  CAST(ROUND(CASE CAST(i % 3 AS INT)
+    WHEN 0 THEN 0.9 WHEN 1 THEN 0.2 ELSE 0.5 END * 2.0, 6) AS DOUBLE) AS domain_score
+FROM docs
+"""
+
+
+@register("url_domain_authority", _DOMAUTH_ORACLE)
+def url_domain_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DomainAuthorityScorer (scorers.py:414-519): broadcast domain-dim
+    join keyed on the reference's base-domain extraction, default 0.5,
+    weight multiplier."""
+    from crawl4ai_spark.functions.scorers import domain_authority_score
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    url = (
+        F.when(i % 3 == 0, F.format_string("https://www.good%d.co.uk/a", i % 10))
+        .when(i % 3 == 1, F.format_string("https://bad%d.com/x", i % 10))
+        .otherwise(F.format_string("https://neutral%d.org/y", i % 10))
+    )
+    weights = spark.createDataFrame(
+        [(f"good{k}.co.uk", 0.9) for k in range(10)]
+        + [(f"bad{k}.com", 0.2) for k in range(10)],
+        "domain string, weight double",
+    )
+    df = docs.select(i.alias("doc_id"), url.alias("url_norm"))
+    out = domain_authority_score(df, weights_df=weights, default=0.5, weight=2.0)
+    return out.select("doc_id", F.round("domain_score", 6).alias("domain_score"))
