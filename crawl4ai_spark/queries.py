@@ -1426,3 +1426,34 @@ def url_domain_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = docs.select(i.alias("doc_id"), url.alias("url_norm"))
     out = domain_authority_score(df, weights_df=weights, default=0.5, weight=2.0)
     return out.select("doc_id", F.round("domain_score", 6).alias("domain_score"))
+
+
+_BPE_ORACLE = r"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, tok, COUNT(*) AS n
+FROM (
+  SELECT doc_id, UNNEST(regexp_extract_all(
+    text || ' x9y, end-' || CAST(doc_id AS VARCHAR) || '!',
+    '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS tok
+  FROM documents
+) GROUP BY doc_id, tok
+"""
+
+
+@register("bpe_tokens", _BPE_ORACLE)
+def bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenization (letter runs / digit runs / single
+    punctuation) — the token-counting regex path over messy text."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(
+            "text", F.lit(" x9y, end-"), F.col("doc_id").cast("string"), F.lit("!")
+        ).alias("text"),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(text_ops.bpe_ish_tokens("text")).alias("tok"),
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
