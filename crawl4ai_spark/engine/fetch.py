@@ -125,11 +125,27 @@ class CachedFetcher:
     def fetch(self, frontier: DataFrame) -> DataFrame:
         if not self.read_enabled or self.cache is None:
             return self.inner.fetch(frontier)
-        c = self.cache.select(
-            F.col("url_norm").alias("__c_url"),
-            F.col("html").alias("html"),
-            F.col("status_code").alias("status_code"),
-        ).dropDuplicates(["__c_url"])
+        # deterministic pick when the cache holds several rows per URL
+        # (a pages table spanning rounds/crawls): latest round wins when
+        # a round column exists, else an arbitrary-but-stable tiebreak —
+        # never dropDuplicates, whose survivor depends on task order
+        from pyspark.sql import Window
+
+        order = (
+            [F.col("round").desc()] if "round" in self.cache.columns else []
+        ) + [F.col("status_code").asc(), F.length("html").desc(), F.col("html").asc()]
+        w = Window.partitionBy("__c_url").orderBy(*order)
+        c = (
+            self.cache.select(
+                F.col("url_norm").alias("__c_url"),
+                F.col("html").alias("html"),
+                F.col("status_code").alias("status_code"),
+                *(["round"] if "round" in self.cache.columns else []),
+            )
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select("__c_url", "html", "status_code")
+        )
         hits = (
             frontier.join(c, frontier["url_norm"] == c["__c_url"], "inner")
             .drop("__c_url")

@@ -173,6 +173,11 @@ class CrawlEngine:
                 normalize_urls_udf(F.col(url_col), F.col(url_col)).alias("url_norm")
             )
             .where(F.col("url_norm").isNotNull())
+            # seed tables routinely contain raw-URL duplicates that
+            # canonicalize to one url_norm; without this the duplicate
+            # frontier rows are all selected by the winners join and
+            # per-host budgets overshoot in round 0
+            .dropDuplicates(["url_norm"])
             .withColumn("depth", F.lit(0))
             .withColumn("parent_url", F.lit(None).cast("string"))
             .withColumn("score", F.lit(0.0))

@@ -66,6 +66,13 @@ def select_fetch_batch(
 
     order = [F.col("eff_priority").asc(), F.col("depth").asc(), F.col("url_norm").asc()]
 
+    # winners/flag joins key on the 64-bit url_hash when the frontier
+    # carries one (8 bytes vs a long URL string — halves shuffle bytes
+    # at 10^10-row frontier scale); url_norm is the fallback for bare
+    # test frontiers. The frontier is deduped on url_norm upstream
+    # (init_from_seed_df / _discover), so the join is one-to-one.
+    key = "url_hash" if "url_hash" in frontier.columns else "url_norm"
+
     if base_budget is None:
         f = f.withColumn("budget", F.lit(None).cast("int")).withColumn(
             "selected", F.lit(True)
@@ -91,33 +98,33 @@ def select_fetch_batch(
         winners = (
             pruned.withColumn("__rh", F.row_number().over(w_host))
             .where(F.col("__rh") <= F.col("budget"))
-            .select("url_norm")
+            .select(key)
         )
         if global_budget is not None:
             # best-first batch cap (bff_strategy.py:161-174): global
             # top-N, tie-break (priority, depth, url) per SURVEY §2.2 —
             # sort-limit (TakeOrdered), never a partition-less window
             winners = (
-                pruned.join(winners, "url_norm", "left_semi")
-                .orderBy(*order).limit(global_budget).select("url_norm")
+                pruned.join(winners, key, "left_semi")
+                .orderBy(*order).limit(global_budget).select(key)
             )
         # winners is Σ per-host budgets at most — orders of magnitude
         # smaller than the frontier; AQE broadcasts it when it fits
         f = f.join(
-            winners.withColumn("__sel", F.lit(True)), "url_norm", "left"
+            winners.withColumn("__sel", F.lit(True)), key, "left"
         ).withColumn("selected", F.coalesce(F.col("__sel"), F.lit(False))).drop("__sel")
         return f
 
     if global_budget is not None:
         top = (
             f.where("selected").orderBy(*order).limit(global_budget)
-            .select(F.col("url_norm").alias("__top_url"))
+            .select(F.col(key).alias("__top_key"))
         )
         f = f.join(
-            F.broadcast(top), f["url_norm"] == top["__top_url"], "left"
+            F.broadcast(top), f[key] == top["__top_key"], "left"
         ).withColumn(
-            "selected", F.col("selected") & F.col("__top_url").isNotNull()
-        ).drop("__top_url")
+            "selected", F.col("selected") & F.col("__top_key").isNotNull()
+        ).drop("__top_key")
     return f
 
 

@@ -168,7 +168,11 @@ def regex_extract_tokens(df: DataFrame, text_col: str, pattern: str,
     return (
         df.select(
             F.col("doc_id"),
-            F.explode(F.expr(f"regexp_extract_all({text_col}, '{pattern}', 0)")).alias("value"),
+            # pattern as a literal Column — no SQL-string interpolation,
+            # so quotes/backslashes in patterns need no caller escaping
+            F.explode(
+                F.regexp_extract_all(F.col(text_col), F.lit(pattern), F.lit(0))
+            ).alias("value"),
         )
         .groupBy("doc_id", "value")
         .agg(F.count(F.lit(1)).alias("n"))

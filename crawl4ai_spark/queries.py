@@ -278,15 +278,122 @@ def crawl_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("crawl_bestfirst", None)
+# Best-first parameters (bff_strategy.py:19,87-91): per-round batch cap,
+# page budget, depth cap. The scorer varies per URL (id-derived, so both
+# engines compute it exactly) — every round genuinely reorders the queue.
+_BFF_PAGES, _BFF_BATCH, _BFF_DEPTH = 30, 10, 4
+
+_BFF_SCORE_SQL = "(-(CAST(({i}) * 37 % 100 AS DOUBLE) / 100.0))"
+
+# Round-by-round simulation of BestFirstCrawlingStrategy._arun_best_first
+# (bff_strategy.py:129-213) as a DuckDB recursive CTE: the working table
+# carries the full scheduler state per round (typ 'f' frontier rows,
+# 's' seen set, 'n' crawled counter); 'c' rows are the fetched pages,
+# emitted once in their fetch round and not carried forward. Per round:
+# global top-K by (priority=depth+score, depth, url) -> fetch -> child
+# discovery with min(depth,parent)-pair first-wins -> seen anti-join ->
+# capacity cap by score desc -> deferred rows wait, new rows enqueue.
+_BFF_ORACLE = f"""
+WITH RECURSIVE
+n_docs AS (SELECT COUNT(*) AS n FROM documents),
+st AS (
+  SELECT 0 AS round, 'f' AS typ, CAST(0 AS BIGINT) AS id, 0 AS depth,
+         CAST(NULL AS VARCHAR) AS parent, CAST(0.0 AS DOUBLE) AS score,
+         0 AS wait, CAST(NULL AS BIGINT) AS cnt
+  UNION ALL
+  SELECT 0, 'n', NULL, NULL, NULL, NULL, NULL, CAST(0 AS BIGINT)
+  UNION ALL
+  SELECT * FROM (
+    WITH cur AS (SELECT * FROM st),
+    par AS (SELECT round, cnt FROM cur WHERE typ = 'n'),
+    fro AS (
+      SELECT id, depth, parent, score, wait,
+             (depth + score) AS priority, {_url_sql('id')} AS url
+      FROM cur WHERE typ = 'f'
+    ),
+    sel AS (
+      SELECT * FROM (
+        SELECT f.*, ROW_NUMBER() OVER (
+          ORDER BY priority ASC, depth ASC, url ASC) AS rn
+        FROM fro f
+      ), par
+      WHERE rn <= LEAST({_BFF_BATCH}, {_BFF_PAGES} - par.cnt)
+    ),
+    ca AS (SELECT p.round + 1 AS round,
+                  p.cnt + (SELECT COUNT(*) FROM sel) AS cnt FROM par p),
+    kids AS (
+      SELECT s.url AS purl, s.depth + 1 AS depth, u.c AS id
+      FROM sel s, n_docs,
+           UNNEST([{", ".join(f"{a}*s.id+{b}" for a, b in CHILD_FACTORS)}]) AS u(c)
+      WHERE s.depth + 1 <= {_BFF_DEPTH} AND u.c < n_docs.n
+    ),
+    cand0 AS (SELECT id, MIN(ROW(depth, purl)) AS dp FROM kids GROUP BY id),
+    cand AS (
+      SELECT id, dp[1] AS depth, dp[2] AS parent,
+             {_BFF_SCORE_SQL.format(i='id')} AS score, {_url_sql('id')} AS url
+      FROM cand0
+      WHERE id NOT IN (SELECT id FROM cur WHERE typ = 's')
+    ),
+    capped AS (
+      SELECT * FROM (
+        SELECT c.*, ROW_NUMBER() OVER (
+          ORDER BY score DESC, depth ASC, url ASC) AS rn
+        FROM cand c
+      ), ca
+      WHERE ca.cnt < {_BFF_PAGES} AND rn <= {_BFF_PAGES} - ca.cnt
+    ),
+    nextf AS (
+      SELECT f.id, f.depth, f.parent, f.score, f.wait + 1 AS wait
+      FROM fro f WHERE f.id NOT IN (SELECT id FROM sel)
+      UNION ALL
+      SELECT id, depth, parent, score, 0 FROM capped
+    ),
+    go AS (
+      SELECT (SELECT cnt FROM ca) < {_BFF_PAGES}
+             AND EXISTS (SELECT 1 FROM nextf) AS cont
+    ),
+    nxt AS (
+      SELECT (SELECT round FROM ca) AS round, 'c' AS typ, id, depth,
+             CAST(NULL AS VARCHAR) AS parent, CAST(NULL AS DOUBLE) AS score,
+             CAST(NULL AS INT) AS wait, CAST(NULL AS BIGINT) AS cnt
+      FROM sel
+      UNION ALL
+      SELECT (SELECT round FROM ca), 'f', id, depth, parent, score, wait, NULL
+      FROM nextf, go WHERE go.cont
+      UNION ALL
+      SELECT (SELECT round FROM ca), 's', id, NULL, NULL, NULL, NULL, NULL
+      FROM (SELECT id FROM cur WHERE typ = 's'
+            UNION ALL SELECT id FROM capped), go
+      WHERE go.cont
+      UNION ALL
+      SELECT ca.round, 'n', NULL, NULL, NULL, NULL, NULL, ca.cnt
+      FROM ca, go WHERE go.cont
+    )
+    SELECT * FROM nxt
+  )
+)
+SELECT {_url_sql('id')} AS url_norm, CAST(depth AS INT) AS depth
+FROM st WHERE typ = 'c'
+"""
+
+
+def _bff_scorer(u):
+    """Deterministic id-derived URL score in [-0.99, 0]: the DuckDB twin
+    of _BFF_SCORE_SQL (page number parsed back out of the URL)."""
+    i = F.regexp_extract(u, r"page/(\d+)$", 1).cast("long")
+    return -(F.pmod(i * 37, F.lit(100)).cast("double") / 100.0)
+
+
+@register("crawl_bestfirst", _BFF_ORACLE)
 def crawl_bestfirst(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Best-first traversal (priority queue re-expressed as per-round
-    global top-k): rows-only check — iterative scheduling with a
-    running page budget is not single-statement SQL."""
+    """Best-first traversal (bff_strategy.py:129-213): the global
+    priority queue re-expressed as per-round global top-k with
+    (priority, depth, url) tie-break, page budget, and score-ordered
+    capacity cap — checked exactly against a recursive-CTE scheduler
+    simulation in DuckDB."""
     from crawl4ai_spark.engine.fetch import CorpusFetcher
     from crawl4ai_spark.engine.frontier import CrawlConfig, CrawlEngine
     from crawl4ai_spark.engine.tables import Warehouse
-    from crawl4ai_spark.functions.scorers import path_depth_score
 
     docs = _t(spark, sf_dir, "documents")
     corpus = build_corpus(docs).cache()  # rounds re-scan it; build once
@@ -294,9 +401,8 @@ def crawl_bestfirst(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = CrawlEngine(
         spark, wh, CorpusFetcher(corpus),
         CrawlConfig(
-            max_depth=4, mode="best_first", batch_size=10, max_pages=30,
-            scorer=lambda u: -path_depth_score(u, optimal_depth=2),
-            use_bloom=True,
+            max_depth=_BFF_DEPTH, mode="best_first", batch_size=_BFF_BATCH,
+            max_pages=_BFF_PAGES, scorer=_bff_scorer, use_bloom=True,
         ),
     )
     eng.run([seed_url()])
@@ -1026,7 +1132,7 @@ def regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("long").alias("doc_id"), "text"
     )
-    return text_ops.regex_extract_tokens(docs, "text", r"\\bs[a-z]+", "sword")
+    return text_ops.regex_extract_tokens(docs, "text", r"\bs[a-z]+", "sword")
 
 
 _TERM_STATS_ORACLE = """
@@ -1064,11 +1170,30 @@ def adaptive_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adaptive.coverage_score(_t(spark, sf_dir, "documents"), _COVERAGE_TERMS)
 
 
-@register("multimodal_features", None)
+# The fake decoder's first feature is the stride-16 byte sum mod 997
+# (ops/multimodal.fake_features): over hex(encode(text)) that is
+# SUM(byte at 16k) % 997 — byte-exact in DuckDB, so the mapInPandas
+# decode path has a full value oracle despite being "binary" work.
+_MM_FEATURES_ORACLE = """
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS i, encode(text) AS b FROM documents),
+h AS (SELECT i, hex(b) AS hx, octet_length(b) AS nb FROM d),
+s AS (SELECT i, nb, SUM(CAST(('0x' || substr(hx, 32*k+1, 2)) AS INT)) AS tot
+      FROM h, UNNEST(range(0, CAST(ceil(nb/16.0) AS BIGINT))) AS t(k)
+      WHERE 16*k < nb
+      GROUP BY i, nb)
+SELECT CAST(i AS VARCHAR) AS doc_id,
+       ['image','audio','video'][CAST(i % 3 AS INT) + 1] AS kind,
+       nb AS n_bytes,
+       CAST(tot % 997 AS DOUBLE) AS f0
+FROM s
+"""
+
+
+@register("multimodal_features", _MM_FEATURES_ORACLE)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary blob column -> mapInPandas feature
     extraction (deterministic fake decoder; real decoders are container
-    stubs). Rows-only check — byte-level stride sums aren't SQL."""
+    stubs). Value-exact oracle: f0 == stride-16 byte sum mod 997."""
     from crawl4ai_spark.ops.multimodal import extract_features
 
     docs = _t(spark, sf_dir, "documents")
@@ -1334,7 +1459,7 @@ def regex_email(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("@mail.example.com now"),
         ).alias("text"),
     )
-    return text_ops.regex_extract_tokens(docs, "text", _EMAIL_PATTERN.replace("\\", "\\\\"), "email")
+    return text_ops.regex_extract_tokens(docs, "text", _EMAIL_PATTERN, "email")
 
 
 _CONSIST_ORACLE = """
@@ -1384,15 +1509,34 @@ def adaptive_saturation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adaptive.saturation_from_rounds(hist)
 
 
-@register("fit_markdown", None)
+# PruningContentFilter, solved in closed form for the synthetic DOM:
+# scoring the fixed page tree (title/h1/p/img/p/ul>li>a) by hand shows
+# the survivors are exactly {title, h1, p(text), p(tail)} for EVERY doc
+# id — links die because even when a long "go NNNNNNN" anchor clears the
+# 0.48 threshold, its parent <li> (link_density 1.0) never does, and img
+# emits no text. So fit_markdown == 'Doc i\n\n# Doc i\n\ntext\n\ntail i'
+# exactly (trim() because _emit_text strips each text segment's ends).
+_FIT_ORACLE = f"""
+WITH docs AS ({_DOCS_I})
+SELECT {_url_sql('i')} AS url,
+       ('Doc ' || CAST(i AS VARCHAR) || chr(10) || chr(10) ||
+        '# Doc ' || CAST(i AS VARCHAR) ||
+        CASE WHEN trim(text) <> '' THEN chr(10) || chr(10) || trim(text) ELSE '' END ||
+        chr(10) || chr(10) || 'tail ' || CAST(i AS VARCHAR)) AS fit_markdown
+FROM docs
+"""
+
+
+@register("fit_markdown", _FIT_ORACLE)
 def fit_markdown_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PruningContentFilter fit_markdown over the synthetic corpus —
-    rows-only (heuristic DOM pruning isn't single-statement SQL)."""
+    full-text exact check against the closed-form pruning outcome
+    (content_filter_strategy.py:533-777 semantics)."""
     from crawl4ai_spark.extraction.pruning import fit_pages
 
     corpus = build_corpus(_t(spark, sf_dir, "documents"))
     out = fit_pages(corpus.withColumnRenamed("url_norm", "url"))
-    return out.select("url", F.length("fit_markdown").alias("fit_len"))
+    return out.select("url", "fit_markdown")
 
 
 _DOMAUTH_ORACLE = f"""
