@@ -18,12 +18,22 @@ Key differences from the reference, by design:
     never a dropped URL — the reference's exact-set semantics are
     preserved (bfs_strategy.py:153 `visited: Set[str]`).
 
-At 10^10 seen URLs with mostly-new candidates per round, the exact
-anti-join input shrinks by ~(1 - dup_rate - fpp), which is the whole
-point: the big shuffle happens on a tiny fraction of the frontier.
+Scale posture (both fixes from the 10^10-URL review):
+  - ``m_bits`` is SIZED FROM STATE, not fixed: ``build()`` derives it
+    from the expected seen count at ~1e-3 FP (m/n = 14.4 bits/key for
+    k=7) with growth headroom, and the engine rebuilds with a larger m
+    at a round boundary when the seen count outgrows capacity — the FP
+    rate can never silently saturate toward 1.0.
+  - Probe and update NEVER move blobs through the driver: both are
+    cogroup joins on shard_id (``applyInPandas`` over cogrouped
+    candidates x shard rows), so blobs stay executor-side parquet and
+    only 8-byte hashes shuffle. A properly-sized 10^10-key bloom
+    (~17 GiB at 1e-3 FP) is just n_shards modest tasks.
 """
 
 from __future__ import annotations
+
+import math
 
 import numpy as np
 import pandas as pd
@@ -36,8 +46,13 @@ SHARD_SCHEMA = T.StructType(
         T.StructField("shard_id", T.IntegerType()),
         T.StructField("bloom", T.BinaryType()),
         T.StructField("n_items", T.LongType()),
+        T.StructField("m_bits", T.LongType()),
     ]
 )
+
+# bits per key for ~1e-3 false-positive rate at the optimal k
+BITS_PER_KEY = 14.4
+DEFAULT_HEADROOM = 4.0
 
 
 def _split_hash(h: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -68,99 +83,140 @@ def probe_bits(bits: np.ndarray, hashes: np.ndarray, m_bits: int, k: int) -> np.
     return maybe
 
 
-class BloomSeenSet:
-    """Sharded bloom state over a SnapshotTable of (shard_id, bloom, n_items)."""
+def size_m_bits(expected_n: int, n_shards: int, floor_bits: int = 1 << 16) -> int:
+    """Per-shard m for ~1e-3 FP at expected_n total keys, power of two,
+    byte-aligned, never below floor_bits."""
+    per_shard = max(1.0, expected_n / max(1, n_shards)) * BITS_PER_KEY
+    return max(floor_bits, 1 << math.ceil(math.log2(per_shard)))
 
-    def __init__(self, table, n_shards: int = 32, m_bits: int = 1 << 23, k: int = 7):
+
+class BloomSeenSet:
+    """Sharded bloom state over a SnapshotTable of
+    (shard_id, bloom, n_items, m_bits)."""
+
+    def __init__(self, table, n_shards: int = 32, m_bits: int = 1 << 20, k: int = 7):
         self.table = table  # SnapshotTable
         self.n_shards = n_shards
-        self.m_bits = m_bits
+        self.m_bits = m_bits  # current per-shard size; reset by build()
         self.k = k
-        self._cached: tuple[int, dict] | None = None  # (table version, shard map)
-
-    def _shard_map(self, spark: SparkSession) -> dict:
-        """Blob map keyed by shard id, cached per table version so each
-        round pays at most one driver collect."""
-        v = self.table.version
-        if self._cached is not None and self._cached[0] == v:
-            return self._cached[1]
-        prev = self.table.read(spark)
-        m = {} if prev is None else {
-            int(r.shard_id): (bytes(r.bloom), int(r.n_items))
-            for r in prev.toPandas().itertuples()
-        }
-        self._cached = (v, m)
-        return m
 
     def shard_col(self, hash_col):
         return F.pmod(hash_col, F.lit(self.n_shards)).cast("int")
 
-    # -- update: OR the new hashes into the shard blobs --------------------
-    def add_hashes(self, spark: SparkSession, hashes_df: DataFrame) -> None:
-        """hashes_df: single column `url_hash` (int64). One shuffle by
-        shard_id; each shard's bits are rebuilt by OR-ing new bits into
-        the previous blob (applyInPandas per shard group)."""
-        m_bits, k, n_shards = self.m_bits, self.k, self.n_shards
-        prev = self.table.read(spark)
+    def capacity(self) -> int:
+        """Total keys this bloom holds at the target FP budget."""
+        return int(self.n_shards * self.m_bits / BITS_PER_KEY)
+
+    # -- build: (re)create every shard from scratch, sized from state ------
+    def build(self, spark: SparkSession, hashes_df: DataFrame,
+              expected_n: int, headroom: float = DEFAULT_HEADROOM) -> None:
+        """Bulk-(re)build all shards from the full seen set. Called when
+        the bloom first engages and again whenever seen outgrows
+        capacity (the round boundary is the natural rebuild point).
+        Writes all n_shards rows — even empty ones — so add/probe always
+        cogroup against a complete, uniformly-sized shard table."""
+        self.m_bits = size_m_bits(int(expected_n * headroom), self.n_shards)
+        m_bits, k = self.m_bits, self.k
+
+        # IMPORTANT: never union nullable placeholder rows into the hash
+        # column — Arrow hands a nullable int64 to pandas as float64 and
+        # hashes above 2^53 silently lose low bits (set_bits would then
+        # disagree with probe's exact int64 path). Shards with zero keys
+        # simply don't get a row; probe/add cogroups handle absence.
         new = hashes_df.select(
             self.shard_col(F.col("url_hash")).alias("shard_id"),
             F.col("url_hash"),
         )
 
-        prev_map = self._shard_map(spark)
-        bc_prev = spark.sparkContext.broadcast(prev_map)
-
-        def merge_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
             sid = int(pdf["shard_id"].iloc[0])
-            old = bc_prev.value.get(sid)
-            if old is not None:
-                bits = np.frombuffer(old[0], dtype=np.uint8).copy()
-                n = old[1]
-            else:
-                bits = np.zeros(m_bits // 8, dtype=np.uint8)
-                n = 0
             h = pdf["url_hash"].to_numpy(dtype=np.int64)
+            bits = np.zeros(m_bits // 8, dtype=np.uint8)
             set_bits(bits, h, m_bits, k)
-            return pd.DataFrame(
-                {"shard_id": [sid], "bloom": [bits.tobytes()], "n_items": [n + len(h)]}
-            )
+            return pd.DataFrame({
+                "shard_id": [sid], "bloom": [bits.tobytes()],
+                "n_items": [len(h)], "m_bits": [m_bits],
+            })
 
-        updated = new.groupBy("shard_id").applyInPandas(merge_shard, SHARD_SCHEMA)
-        # carry forward untouched shards
-        if prev is not None:
-            untouched = prev.join(
-                new.select("shard_id").distinct(), "shard_id", "left_anti"
-            )
-            updated = updated.unionByName(untouched)
+        shards = new.groupBy("shard_id").applyInPandas(build_shard, SHARD_SCHEMA)
+        self.table.overwrite(shards)
+
+    # -- update: OR new hashes into shard blobs, executor-side -------------
+    def add_hashes(self, spark: SparkSession, hashes_df: DataFrame) -> None:
+        """hashes_df: single column `url_hash` (int64). One shuffle of
+        the 8-byte hashes by shard_id; previous blobs are cogrouped in
+        from the shard table — they never visit the driver."""
+        k = self.k
+        prev = self.table.read(spark)
+        if prev is None:
+            self.build(spark, hashes_df, expected_n=1)
+            return
+        new = hashes_df.select(
+            self.shard_col(F.col("url_hash")).alias("shard_id"),
+            F.col("url_hash"),
+        )
+
+        cur_m = self.m_bits
+
+        def merge_shard(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            h = left["url_hash"].to_numpy(dtype=np.int64) if not left.empty \
+                else np.empty(0, dtype=np.int64)
+            if right.empty:
+                # first keys for a shard that had none at build time
+                sid = int(left["shard_id"].iloc[0])
+                m_bits, n_prev = cur_m, 0
+                bits = np.zeros(m_bits // 8, dtype=np.uint8)
+            else:
+                sid = int(right["shard_id"].iloc[0])
+                m_bits = int(right["m_bits"].iloc[0])
+                n_prev = int(right["n_items"].iloc[0])
+                bits = np.frombuffer(right["bloom"].iloc[0], dtype=np.uint8).copy()
+            set_bits(bits, h, m_bits, k)
+            return pd.DataFrame({
+                "shard_id": [sid], "bloom": [bits.tobytes()],
+                "n_items": [n_prev + len(h)],
+                "m_bits": [m_bits],
+            })
+
+        updated = (
+            new.groupBy("shard_id")
+            .cogroup(prev.groupBy("shard_id"))
+            .applyInPandas(merge_shard, SHARD_SCHEMA)
+        )
         self.table.overwrite(updated)
-        self._cached = None  # next probe reloads the new version
 
     # -- probe: split candidates into definitely-new vs maybe-seen ---------
-    def probe(self, spark: SparkSession, cands: DataFrame, hash_col: str = "url_hash") -> DataFrame:
-        """Adds a boolean `maybe_seen` column. Shards are broadcast to
-        executors (total size n_shards * m_bits/8 — a few hundred MB at
-        10^10 scale, well within executor memory); probing is a
-        grouped-by-shard Arrow pass."""
-        shard_map = {
-            sid: blob for sid, (blob, _n) in self._shard_map(spark).items()
-        }
-        if not shard_map:
+    def probe(self, spark: SparkSession, cands: DataFrame,
+              hash_col: str = "url_hash") -> DataFrame:
+        """Adds a boolean `maybe_seen` column via a cogroup join on
+        shard id: candidates shuffle (8-byte hashes + their columns),
+        blobs are read executor-side from the shard table's parquet —
+        no driver collect, no whole-filter broadcast."""
+        prev = self.table.read(spark)
+        if prev is None:
             return cands.withColumn("maybe_seen", F.lit(False))
-        bc = spark.sparkContext.broadcast(shard_map)
-        m_bits, k, n_shards = self.m_bits, self.k, self.n_shards
+        k = self.k
+        out_schema = T.StructType(
+            list(cands.schema.fields) + [T.StructField("maybe_seen", T.BooleanType())]
+        )
+        tagged = cands.withColumn("__shard", self.shard_col(F.col(hash_col)))
+        cand_cols = cands.columns
 
-        @F.pandas_udf(T.BooleanType())
-        def probe_udf(h: pd.Series) -> pd.Series:
-            hv = h.to_numpy(dtype=np.int64)
-            sid = (hv % n_shards + n_shards) % n_shards
-            out = np.zeros(len(hv), dtype=bool)
-            for s in np.unique(sid):
-                blob = bc.value.get(int(s))
-                if blob is None:
-                    continue
-                mask = sid == s
-                bits = np.frombuffer(blob, dtype=np.uint8)
-                out[mask] = probe_bits(bits, hv[mask], m_bits, k)
-            return pd.Series(out)
+        def probe_shard(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            if left.empty:
+                return pd.DataFrame(columns=cand_cols + ["maybe_seen"])
+            out = left[cand_cols].copy()
+            if right.empty:
+                out["maybe_seen"] = False
+                return out
+            m_bits = int(right["m_bits"].iloc[0])
+            bits = np.frombuffer(right["bloom"].iloc[0], dtype=np.uint8)
+            h = left[hash_col].to_numpy(dtype=np.int64)
+            out["maybe_seen"] = probe_bits(bits, h, m_bits, k)
+            return out
 
-        return cands.withColumn("maybe_seen", probe_udf(F.col(hash_col)))
+        return (
+            tagged.groupBy("__shard")
+            .cogroup(prev.groupBy("shard_id"))
+            .applyInPandas(probe_shard, out_schema)
+        )

@@ -1,23 +1,34 @@
 """The batch-iterative crawl loop — the engine core.
 
-One round == one set of pure DataFrame jobs (the Spark re-expression of
+One round == TWO Spark jobs (the Spark re-expression of
 BFSDeepCrawlStrategy._arun_batch, /root/reference/crawl4ai/deep_crawling/
 bfs_strategy.py:142-192, and BestFirstCrawlingStrategy._arun_best_first,
 bff_strategy.py:129-213):
 
-    mark      politeness/fairness windows select this round's fetch set
-    gate      robots broadcast-join filter (denied -> 403 page rows)
-    fetch     corpus join or HTTP mapInPandas
-    extract   html -> spans/links/media/metadata (one Arrow pass)
-    persist   append round rows to `pages` (materializes the round once)
-    discover  explode links -> canonicalize -> filter chain -> score ->
-              threshold -> capacity cap -> bloom pre-filter + exact
-              anti-join vs seen -> first-wins parent
-    advance   frontier_{r+1} = deferred + rate-limit retries + new
-              candidates; seen += new candidates (enqueue-time add,
-              bfs_strategy.py:107,121); host_state backoff recurrence
-    commit    atomic round-manifest entry recording every table's
-              snapshot -> kill anywhere, resume exactly
+  job 1  PAGES: politeness/fairness windows select this round's fetch
+         set -> robots gate -> fetch -> extract (one Arrow pass) ->
+         append to `pages`. An attached Observation yields the round's
+         success/failure counts and fetch-latency p50 inside the write;
+         a per-partition accumulator in the extract stage yields the
+         fetch-metric lineage rows. No counting jobs.
+  job 2  STATE: link discovery (explode -> canonicalize -> filter ->
+         score -> seen anti-join -> capacity cap) and the round-close
+         state transition written as ONE tagged, partitioned write:
+           tag=n  new frontier candidates (these SAME files are also
+                  the seen-set delta — the seen table adopts them)
+           tag=d  deferred (politeness) + rate-limit retries
+           tag=h  per-host budget recurrence
+         The frontier table adopts {n,d}, seen appends {n}, host_state
+         adopts {h} — three tables, one job, zero data rewrites
+         (Iceberg AppendFiles semantics, tables.adopt_dirs). An
+         Observation on the write yields the new-candidate count and
+         next-round frontier size, so the next round needs neither
+         isEmpty() nor count().
+
+Everything else is driver-side bookkeeping: metrics rows are written
+with pyarrow (no job), and the round manifest commit is a JSON rename.
+The bloom seen-set is maintained on an amortized schedule (see below),
+adding ~1/bloom_sync_rounds of a job per round.
 
 Determinism contract (SURVEY §2.2): per-depth crawled sets equal the
 reference's; ties broken by (priority, depth, url_norm); first-discovery
@@ -26,18 +37,21 @@ parent refined to min(parent_url) among same-round discoverers.
 Scale posture: frontier and seen are hash-distributed on xxhash64(url);
 politeness windows are salted two-stage to survive hub-host skew; the
 seen-set anti-join is bloom-pre-filtered so only (dups + FP) rows
-shuffle; robots/host budgets broadcast; AQE handles residual skew.
+shuffle; the bloom itself is updated every `bloom_sync_rounds` rounds
+(an exact anti-join against the small recent-rounds seen DELTA covers
+the gap, so exact-set semantics hold at every round), sized from the
+live seen count, and rebuilt at a round boundary when outgrown;
+robots/host budgets broadcast; AQE handles residual skew.
 """
 
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, Optional
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from crawl4ai_spark.engine.bloom import BloomSeenSet
 from crawl4ai_spark.engine.politeness import (
@@ -68,20 +82,33 @@ class CrawlConfig:
     # seen set
     use_bloom: bool = True
     n_shards: int = 32
-    bloom_m_bits: int = 1 << 20
+    bloom_m_bits: int = 1 << 20              # initial/floor per-shard size
     bloom_k: int = 7
     # bloom engages only once the exact seen set crosses this size (it
     # is a PRE-filter for a big anti-join; below this the anti-join is
     # already cheap and shard maintenance would be pure overhead). On
-    # crossing, shards are bulk-built from the seen table once. Tests
-    # set 0 to exercise the bloom path from round 0.
+    # crossing, shards are bulk-built from the seen table once, sized
+    # from the live count. Tests set 0 to exercise bloom from round 0.
     bloom_min_seen: int = 50_000
+    # bloom shards are synced every K rounds; between syncs an exact
+    # anti-join against the (small) seen delta of unsynced rounds keeps
+    # dedup exact while amortizing the shard-write job to 1/K per round
+    bloom_sync_rounds: int = 8
+    bloom_headroom: float = 4.0              # growth headroom on (re)build
+    # capacity cap: below this `remaining`, exact global top-k
+    # (TakeOrdered); above it, an approx-quantile score cut — an exact
+    # remaining-sized heap per task is a scale hazard at 10^7+ remaining
+    cap_exact_limit: int = 1_000_000
     # loop control
     max_rounds: int = 1000
     # scoring/filtering: url Column -> Column
     scorer: Optional[Callable] = None
     url_filter: Optional[Callable] = None
     shuffle_partitions: Optional[int] = None
+    # per-URL config routing (async_dispatcher.py:101-125): list of
+    # config dicts with optional url_matcher globs; first match wins,
+    # unmatched URLs are skipped. Pages carry the winning config_id.
+    url_configs: Optional[list] = None
 
 
 FRONTIER_FIELDS = [
@@ -97,6 +124,18 @@ FRONTIER_FIELDS = [
     ("wait_rounds", "int"),
     ("salt", "int"),
 ]
+
+# Superset schema shared by every frontier/seen/host_state data dir so
+# one tagged write can feed all three tables and mixed-dir reads never
+# hit parquet schema-merge ambiguity. Parquet column pruning makes the
+# unused columns free on each read path.
+STATE_FIELDS = FRONTIER_FIELDS + [
+    ("round", "int"),        # seen: enqueue round (bloom delta granularity)
+    ("budget", "int"),       # host_state
+    ("fail_count", "int"),   # host_state
+]
+
+_SEEN_COLS = ["url_hash", "url_norm", "depth", "parent_url", "round"]
 
 
 class CrawlEngine:
@@ -124,8 +163,23 @@ class CrawlEngine:
         )
         self._seen_count = 0
         self._bloom_built = False
+        self._bloom_synced_round = -1
+        self._frontier_count: int | None = None  # from last write's Observation
+        self._scratch: list[DataFrame] = []      # persisted intermediates
 
     # ------------------------------------------------------------------
+    def _to_state(self, df: DataFrame, rnd: int | None = None) -> DataFrame:
+        """Project any frontier-shaped df into the shared state schema."""
+        cols = []
+        for name, typ in STATE_FIELDS:
+            if name in df.columns:
+                cols.append(F.col(name).cast(typ).alias(name))
+            elif name == "round" and rnd is not None:
+                cols.append(F.lit(rnd).cast(typ).alias(name))
+            else:
+                cols.append(F.lit(None).cast(typ).alias(name))
+        return df.select(*cols)
+
     def _frontier_row(self, df: DataFrame) -> DataFrame:
         """Project a candidate df (url_norm, depth, parent_url, score)
         into the full frontier schema."""
@@ -162,6 +216,7 @@ class CrawlEngine:
 
         self._seen_count = 0
         self._bloom_built = False
+        self._bloom_synced_round = -1
         # spread seeds before the normalize UDF: seed tables often arrive
         # in few partitions (one sitemap file, one export), which would
         # serialize canonicalization into one task
@@ -184,16 +239,15 @@ class CrawlEngine:
             .withColumn("retry_count", F.lit(0))
             .withColumn("wait_rounds", F.lit(0))
         )
-        frontier = self._frontier_row(df)
-        self.t_frontier.overwrite(frontier)
+        frontier = self._to_state(self._frontier_row(df))
+        obs = Observation()
+        self.t_frontier.overwrite(frontier.observe(obs, F.count(F.lit(1)).alias("n")))
+        self._frontier_count = int(obs.get["n"])
         # reference quirk kept: `visited` starts EMPTY — seeds enter the
         # seen set only when (re)discovered by link_discovery
         # (bfs_strategy.py:152-156), so a seed linked from a deeper page
         # is re-crawled once, exactly like the reference.
-        seen = frontier.select(
-            "url_hash", "url_norm", "depth", "parent_url"
-        ).withColumn("round", F.lit(-1)).limit(0)
-        self.t_seen.overwrite(seen)
+        self.t_seen.overwrite(frontier.limit(0))
 
     # ------------------------------------------------------------------
     def resume_or_init(self, seeds: list[str] | None,
@@ -212,6 +266,10 @@ class CrawlEngine:
         last = max(committed, key=lambda r: r["round"])
         self._seen_count = last.get("seen_count", 0)
         self._bloom_built = last.get("bloom_built", False)
+        self._bloom_synced_round = last.get("bloom_synced_round", -1)
+        self._frontier_count = last.get("frontier_count")
+        if last.get("bloom_m_bits"):
+            self.bloom.m_bits = last["bloom_m_bits"]
         for name, tbl in [
             ("frontier", self.t_frontier), ("seen", self.t_seen),
             ("pages", self.t_pages), ("host_state", self.t_host),
@@ -231,9 +289,13 @@ class CrawlEngine:
         for rnd in range(start_round, cfg.max_rounds):
             if cfg.max_pages is not None and crawled >= cfg.max_pages:
                 break
-            frontier = self.t_frontier.read(self.spark)
-            if frontier is None or frontier.isEmpty():
+            if self._frontier_count == 0:
                 break
+            frontier = self.t_frontier.read(self.spark)
+            if frontier is None:
+                break
+            if self._frontier_count is None and frontier.isEmpty():
+                break  # only resumed-from-old-manifest paths pay this job
             crawled = self._run_round(rnd, frontier, crawled)
             stats["rounds"] += 1
             stats["pages_crawled"] = crawled
@@ -243,10 +305,13 @@ class CrawlEngine:
     def _run_round(self, rnd: int, frontier: DataFrame, crawled_before: int) -> int:
         cfg = self.cfg
         t0 = time.monotonic()
+        frontier = frontier.select(*[f for f, _ in FRONTIER_FIELDS])
 
         # -- mark: politeness + fairness + retry-drop ----------------------
         live = frontier.where(F.col("retry_count") <= cfg.max_retries)
         host_state = self.t_host.read(self.spark)
+        if host_state is not None:
+            host_state = host_state.select("host", "budget", "fail_count")
         # best-first: batch = min(BATCH_SIZE, remaining) (bff_strategy.py:150-156);
         # BFS fetches whole levels — max_pages caps *discovery*, not the level
         # (bfs_strategy.py:160-174)
@@ -266,8 +331,8 @@ class CrawlEngine:
         # async_dispatcher.py:70-72)
         marked = marked.where(F.coalesce(F.col("fail_count"), F.lit(0)) <= cfg.max_retries)
         # scratch state: cache (recompute-on-loss is fine, it's derived
-        # from the committed frontier) — a parquet round-trip here costs
-        # two extra jobs per round
+        # from the committed frontier) — job 1 reads `batch`, job 2 reads
+        # `deferred`; a parquet round-trip here would cost an extra job
         marked = marked.persist()
 
         batch = marked.where("selected")
@@ -275,9 +340,19 @@ class CrawlEngine:
             "wait_rounds", F.col("wait_rounds") + 1
         )
 
-        # -- gate + fetch + extract ---------------------------------------
+        # -- JOB 1: gate + fetch + extract + pages append ------------------
         carry = ["url_norm", "host", "depth", "parent_url", "score",
                  "priority", "retry_count", "status_code", "fetch_ms", "success"]
+        fetch_cols = ["url_norm", "host", "depth", "parent_url",
+                      "score", "priority", "retry_count"]
+        if cfg.url_configs is not None:
+            from crawl4ai_spark.engine.routing import route_configs
+
+            # first-match config per URL; unmatched URLs are skipped
+            # (they leave the frontier unfetched, like the reference)
+            batch = route_configs(batch, cfg.url_configs)
+            carry.append("config_id")
+            fetch_cols.append("config_id")
         if self.robots is None:
             to_fetch, denied = batch, None
         else:
@@ -286,17 +361,16 @@ class CrawlEngine:
             denied = gated.where(~F.col("robots_allowed"))
 
         fetched = self.fetcher.fetch(
-            to_fetch.select("url_norm", "host", "depth", "parent_url",
-                            "score", "priority", "retry_count")
+            to_fetch.select(*fetch_cols)
         ).withColumn("url", F.col("url_norm"))
 
-        pages = extract_pages(fetched, keep_cols=carry).drop("url")
+        part_acc = self.spark.sparkContext.accumulator({}, _PartMetricsAcc())
+        pages = extract_pages(fetched, keep_cols=carry, metrics_acc=part_acc).drop("url")
 
         round_pages = pages
         if denied is not None:
             denied_pages = (
-                denied.select("url_norm", "host", "depth", "parent_url", "score",
-                              "priority", "retry_count")
+                denied.select(*fetch_cols)
                 .withColumn("status_code", F.lit(403))
                 .withColumn("fetch_ms", F.lit(0))
                 .withColumn("success", F.lit(False))
@@ -310,28 +384,28 @@ class CrawlEngine:
             round_pages = pages.unionByName(denied_pages.select(*pages.columns))
         round_pages = round_pages.withColumn("round", F.lit(rnd))
 
-        # materialize the round once; everything downstream re-reads parquet
-        self.t_pages.append(round_pages)
-        round_df = self.t_pages.read(self.spark).where(F.col("round") == rnd)
-
-        # one aggregation yields both the per-partition metrics rows and
-        # the round's success count (no separate count job)
-        metric_rows = (
-            round_df.groupBy(F.spark_partition_id().alias("partition_id"))
-            .agg(
-                F.count(F.lit(1)).alias("urls_processed"),
-                F.sum(F.when(~F.col("success"), 1).otherwise(0)).alias("urls_failed"),
-                F.expr("percentile_approx(fetch_ms, 0.5)").alias("fetch_ms_p50"),
-            )
-            .collect()
+        # counts + latency p50 ride the write via Observation — the old
+        # separate metrics-aggregation job is gone
+        obs_pages = Observation()
+        round_pages = round_pages.observe(
+            obs_pages,
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(~F.col("success"), 1).otherwise(0)).alias("n_failed"),
+            F.expr("percentile_approx(fetch_ms, 0.5)").alias("p50"),
         )
-        n_success = sum(r.urls_processed - r.urls_failed for r in metric_rows)
+        self.t_pages.append(round_pages)
+        pm = obs_pages.get
+        n_total = int(pm["n"] or 0)
+        n_failed = int(pm["n_failed"] or 0)
+        n_success = n_total - n_failed
         crawled = crawled_before + n_success
 
-        # -- discover ------------------------------------------------------
-        new_frontier = self._discover(round_df, crawled, rnd)
+        # downstream re-reads the materialized round from parquet
+        round_df = self.t_pages.read(self.spark).where(F.col("round") == rnd)
 
-        # -- retries: rate-limited rows stay in the frontier ----------------
+        # -- JOB 2: discovery + tagged state write -------------------------
+        cands = self._discover(round_df, crawled, rnd)
+
         retries = (
             round_df.where(F.col("status_code").isin(*RATE_LIMIT_CODES))
             .where(F.col("retry_count") < cfg.max_retries)
@@ -342,38 +416,87 @@ class CrawlEngine:
             )
         )
 
-        next_frontier = self._frontier_row(retries)
-        next_frontier = next_frontier.unionByName(
-            deferred.select(*[f for f, _ in FRONTIER_FIELDS])
-        )
-        if new_frontier is not None:
-            next_frontier = next_frontier.unionByName(new_frontier)
-        self.t_frontier.overwrite(next_frontier)
-        marked.unpersist()
-        if new_frontier is not None:
-            new_frontier.unpersist()
-
-        # -- host_state + metrics ------------------------------------------
+        state = self._to_state(
+            self._frontier_row(retries).unionByName(
+                deferred.select(*[f for f, _ in FRONTIER_FIELDS])
+            )
+        ).withColumn("tag", F.lit("d"))
+        if cands is not None:
+            state = state.unionByName(
+                self._to_state(self._frontier_row(cands), rnd=rnd)
+                .withColumn("tag", F.lit("n"))
+            )
         if cfg.base_host_budget is not None:
             hs = update_host_state(
                 round_df.select("host", "status_code"),
-                self.t_host.read(self.spark),
+                host_state,
                 base_budget=cfg.base_host_budget,
                 max_budget=cfg.max_host_budget,
             )
-            self.t_host.overwrite(hs)
+            state = state.unionByName(
+                self._to_state(hs).withColumn("tag", F.lit("h"))
+            )
 
-        wall = time.monotonic() - t0
-        metrics = self.spark.createDataFrame(
-            [
-                (int(r.partition_id), int(r.urls_processed), int(r.urls_failed),
-                 int(r.fetch_ms_p50 or 0), rnd, wall)
-                for r in metric_rows
-            ],
-            "partition_id int, urls_processed long, urls_failed long, "
-            "fetch_ms_p50 long, round int, wall_s double",
+        obs_state = Observation()
+        state = state.observe(
+            obs_state,
+            F.sum(F.when(F.col("tag") == "n", 1).otherwise(0)).alias("n_new"),
+            F.sum(F.when(F.col("tag").isin("n", "d"), 1).otherwise(0)).alias("n_frontier"),
         )
-        self.t_metrics.append(metrics)
+        state_dir = self.wh.state_dir(rnd)
+        state.write.partitionBy("tag").mode("overwrite").parquet(state_dir)
+        sm = obs_state.get
+        n_new = int(sm["n_new"] or 0)
+        self._frontier_count = int(sm["n_frontier"] or 0)
+        self._seen_count += n_new
+
+        tag_dirs = self.wh.existing_tag_dirs(state_dir)
+        self.t_frontier.adopt_dirs(
+            [d for t, d in tag_dirs.items() if t in ("n", "d")], mode="overwrite"
+        )
+        if "n" in tag_dirs:
+            self.t_seen.adopt_dirs([tag_dirs["n"]], mode="append")
+        if "h" in tag_dirs:
+            self.t_host.adopt_dirs([tag_dirs["h"]], mode="overwrite")
+
+        marked.unpersist()
+        for df in self._scratch:
+            df.unpersist()
+        self._scratch.clear()
+
+        # -- bloom maintenance (amortized; exactness never depends on it) --
+        if cfg.use_bloom:
+            seen_now = self.t_seen.read(self.spark)
+            if not self._bloom_built and self._seen_count >= cfg.bloom_min_seen:
+                if seen_now is not None:
+                    self.bloom.build(
+                        self.spark, seen_now.select("url_hash"),
+                        expected_n=max(1, self._seen_count),
+                        headroom=cfg.bloom_headroom,
+                    )
+                self._bloom_built = True
+                self._bloom_synced_round = rnd
+            elif self._bloom_built and rnd - self._bloom_synced_round >= cfg.bloom_sync_rounds:
+                if self._seen_count > self.bloom.capacity() and seen_now is not None:
+                    # outgrown: rebuild larger at the round boundary
+                    self.bloom.build(
+                        self.spark, seen_now.select("url_hash"),
+                        expected_n=self._seen_count, headroom=cfg.bloom_headroom,
+                    )
+                elif seen_now is not None:
+                    delta = seen_now.where(F.col("round") > self._bloom_synced_round)
+                    self.bloom.add_hashes(self.spark, delta.select("url_hash"))
+                self._bloom_synced_round = rnd
+
+        # -- metrics (driver-side pyarrow append — no Spark job) ------------
+        wall = time.monotonic() - t0
+        rows = [
+            (rnd, int(pid), int(n), int(f), None, wall)
+            for pid, (n, f) in sorted(part_acc.value.items())
+        ]
+        rows.append((rnd, -1, n_total, n_failed,
+                     int(pm["p50"] or 0), wall))  # round summary row
+        self.t_metrics.append_rows(rows, _metrics_arrow_schema())
 
         # -- commit ----------------------------------------------------------
         self.wh.commit_round(
@@ -382,7 +505,10 @@ class CrawlEngine:
                 "pages_crawled": crawled,
                 "n_success": n_success,
                 "seen_count": self._seen_count,
+                "frontier_count": self._frontier_count,
                 "bloom_built": self._bloom_built,
+                "bloom_synced_round": self._bloom_synced_round,
+                "bloom_m_bits": self.bloom.m_bits,
                 "wall_s": time.monotonic() - t0,
                 "tables": {
                     "frontier": self.t_frontier.snapshot_data(),
@@ -398,7 +524,9 @@ class CrawlEngine:
 
     # ------------------------------------------------------------------
     def _discover(self, round_df: DataFrame, crawled: int, rnd: int = 0) -> DataFrame | None:
-        """link_discovery (bfs_strategy.py:68-140) as DataFrame ops."""
+        """link_discovery (bfs_strategy.py:68-140) as DataFrame ops.
+        Pure plan construction — no jobs, no side effects; the caller's
+        tagged state write materializes it exactly once."""
         cfg = self.cfg
         if cfg.max_pages is not None and crawled >= cfg.max_pages:
             return None
@@ -446,48 +574,81 @@ class CrawlEngine:
         if cfg.score_threshold != float("-inf"):
             cands = cands.where(F.col("score") >= cfg.score_threshold)
 
-        # seen dedup: bloom pre-filter shrinks the exact anti-join.
-        # The bloom engages adaptively: below bloom_min_seen the exact
-        # anti-join is cheap and shard maintenance would be pure
-        # overhead; on crossing the threshold the shards are bulk-built
-        # from the seen table ONCE, then maintained incrementally.
+        # seen dedup. With the bloom engaged: "maybe seen" rows get the
+        # full exact anti-join; "definitely new" rows still anti-join the
+        # SMALL unsynced-rounds delta (bloom lags by <= bloom_sync_rounds
+        # rounds by design) — so dedup is exact every round while shard
+        # writes amortize.
         cands = cands.withColumn("url_hash", url_hash(F.col("url_norm")))
         seen = self.t_seen.read(self.spark)
-        if cfg.use_bloom and not self._bloom_built \
-                and self._seen_count >= cfg.bloom_min_seen:
-            if seen is not None:
-                self.bloom.add_hashes(self.spark, seen.select("url_hash"))
-            self._bloom_built = True
-        if cfg.use_bloom and self._bloom_built:
+        if cfg.use_bloom and self._bloom_built and seen is not None:
             probed = self.bloom.probe(self.spark, cands)
             fresh = probed.where(~F.col("maybe_seen")).drop("maybe_seen")
             maybe = probed.where(F.col("maybe_seen")).drop("maybe_seen")
-            if seen is not None:
-                maybe = maybe.join(seen.select("url_hash"), "url_hash", "left_anti")
+            maybe = maybe.join(seen.select("url_hash"), "url_hash", "left_anti")
+            if self._bloom_synced_round < rnd:
+                delta = seen.where(
+                    F.col("round") > self._bloom_synced_round
+                ).select("url_hash")
+                fresh = fresh.join(delta, "url_hash", "left_anti")
             cands = fresh.unionByName(maybe)
         elif seen is not None:
             cands = cands.join(seen.select("url_hash"), "url_hash", "left_anti")
 
         # capacity cap by score desc (bfs_strategy.py:124-131)
         if cfg.max_pages is not None:
-            remaining = cfg.max_pages - crawled
-            cands = cands.orderBy(
-                F.col("score").desc(), F.col("depth").asc(), F.col("url_norm").asc()
-            ).limit(max(0, remaining))
+            remaining = max(0, cfg.max_pages - crawled)
+            order = [F.col("score").desc(), F.col("depth").asc(),
+                     F.col("url_norm").asc()]
+            if remaining <= cfg.cap_exact_limit:
+                cands = cands.orderBy(*order).limit(remaining)
+            else:
+                # scale path: a remaining-sized TakeOrdered heap per task
+                # is a non-starter at 10^7+; cut at the approximate score
+                # quantile instead (documented approximation — only
+                # reachable with max_pages > cap_exact_limit)
+                cands = cands.persist()
+                self._scratch.append(cands)  # unpersisted after the state write
+                n_cand = cands.count()
+                if n_cand > remaining:
+                    q = 1.0 - remaining / n_cand
+                    thr = cands.approxQuantile("score", [q], 0.001)[0]
+                    cands = cands.where(F.col("score") >= thr)
 
-        cands = cands.withColumn("retry_count", F.lit(0)).withColumn(
+        return cands.withColumn("retry_count", F.lit(0)).withColumn(
             "wait_rounds", F.lit(0)
         )
-        # cache once, then seen/bloom/frontier all reuse the same rows
-        # instead of recomputing probe+anti-join (scratch — derived state)
-        new_frontier = self._frontier_row(cands).persist()
 
-        # enqueue-time seen add (bfs_strategy.py:107,121)
-        add = new_frontier.select(
-            "url_hash", "url_norm", "depth", "parent_url"
-        ).withColumn("round", F.lit(rnd))
-        self.t_seen.append(add)
-        self._seen_count += new_frontier.count()  # cached df — cheap
-        if cfg.use_bloom and self._bloom_built:
-            self.bloom.add_hashes(self.spark, new_frontier.select("url_hash"))
-        return new_frontier
+
+# ---------------------------------------------------------------------------
+# per-partition fetch-metric lineage (north rule) without a metrics job
+# ---------------------------------------------------------------------------
+
+from pyspark.accumulators import AccumulatorParam  # noqa: E402
+
+
+class _PartMetricsAcc(AccumulatorParam):
+    """dict accumulator: partition_id -> (processed, failed); merged
+    associatively on the driver as extract tasks complete."""
+
+    def zero(self, value):
+        return {}
+
+    def addInPlace(self, a, b):
+        for pid, (n, f) in b.items():
+            pn, pf = a.get(pid, (0, 0))
+            a[pid] = (pn + n, pf + f)
+        return a
+
+
+def _metrics_arrow_schema():
+    import pyarrow as pa
+
+    return pa.schema([
+        pa.field("round", pa.int32()),
+        pa.field("partition_id", pa.int32()),   # -1 == round summary row
+        pa.field("urls_processed", pa.int64()),
+        pa.field("urls_failed", pa.int64()),
+        pa.field("fetch_ms_p50", pa.int64()),   # null on per-partition rows
+        pa.field("wall_s", pa.float64()),
+    ])

@@ -96,6 +96,37 @@ class SnapshotTable:
         self._commit(m)
         return m["version"]
 
+    def adopt_dirs(self, abs_dirs: list[str], mode: str = "append") -> int:
+        """Commit externally-written parquet dirs (e.g. one tag subtree of
+        a shared partitioned write) as this table's next snapshot without
+        rewriting any data — the Iceberg AppendFiles/ReplaceFiles analogue
+        that lets one Spark job feed several tables."""
+        rels = [os.path.relpath(d, self.path) for d in abs_dirs]
+        m = self._read_manifest()
+        data = rels if mode == "overwrite" else m["data"] + rels
+        m = {"version": m["version"] + 1, "data": data}
+        self._commit(m)
+        return m["version"]
+
+    def append_rows(self, rows: list[tuple], schema: "pa.Schema") -> int:
+        """Driver-side append of a handful of rows (round metrics) via
+        pyarrow — no Spark job for dim-sized bookkeeping writes."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rel = f"d-{uuid.uuid4().hex[:12]}"
+        d = os.path.join(self.path, rel)
+        os.makedirs(d, exist_ok=True)
+        cols = list(zip(*rows)) if rows else [[] for _ in schema]
+        table = pa.table(
+            {f.name: pa.array(list(c), type=f.type) for f, c in zip(schema, cols)}
+        )
+        pq.write_table(table, os.path.join(d, "part-0.parquet"))
+        m = self._read_manifest()
+        m = {"version": m["version"] + 1, "data": m["data"] + [rel]}
+        self._commit(m)
+        return m["version"]
+
     def merge_on_key(self, spark: SparkSession, df: DataFrame, key: str) -> int:
         """Upsert semantics (Iceberg `MERGE INTO ... ON key`): new rows win.
 
@@ -127,6 +158,21 @@ class Warehouse:
 
     def table(self, name: str) -> SnapshotTable:
         return SnapshotTable(os.path.join(self.root, name))
+
+    # -- shared per-round state dirs (one tagged write feeds N tables) -----
+    def state_dir(self, rnd: int) -> str:
+        return os.path.join(self.root, "state", f"r{rnd:06d}")
+
+    @staticmethod
+    def existing_tag_dirs(state_dir: str) -> dict[str, str]:
+        """tag -> abs path for the tag=... subdirs a partitioned write
+        actually produced (empty branches produce no subdir)."""
+        out = {}
+        if os.path.isdir(state_dir):
+            for d in os.listdir(state_dir):
+                if d.startswith("tag="):
+                    out[d.split("=", 1)[1]] = os.path.join(state_dir, d)
+        return out
 
     # -- round manifest (checkpoint/resume unit) ---------------------------
     @property

@@ -81,12 +81,20 @@ PAGE_SCHEMA = T.StructType(
 )
 
 
-def _make_extractor(carry: tuple[str, ...]):
+def _make_extractor(carry: tuple[str, ...], metrics_acc=None):
     def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # import inside the worker so the shipped zip resolves it
+        from pyspark import TaskContext
+
         from crawl4ai_spark.extraction.html_parser import extract_page
 
         for pdf in batches:
+            if metrics_acc is not None:
+                # per-partition fetch lineage rides the task-completion
+                # channel — no separate metrics aggregation job
+                pid = TaskContext.get().partitionId()
+                failed = int((~pdf["success"]).sum()) if "success" in pdf else 0
+                metrics_acc.add({pid: (len(pdf), failed)})
             out = {k: [] for k in
                    ("url", "spans", "markdown", "links", "media", "tables", "metadata")}
             for url, html in zip(pdf["url"], pdf["html"]):
@@ -118,7 +126,8 @@ def _make_extractor(carry: tuple[str, ...]):
     return _extract_batches
 
 
-def extract_pages(fetched: DataFrame, keep_cols: list[str] | None = None) -> DataFrame:
+def extract_pages(fetched: DataFrame, keep_cols: list[str] | None = None,
+                  metrics_acc=None) -> DataFrame:
     """(url, html, *keep_cols) -> extracted page rows.
 
     ``keep_cols`` (small lineage columns: depth, parent_url, round, ...)
@@ -132,5 +141,5 @@ def extract_pages(fetched: DataFrame, keep_cols: list[str] | None = None) -> Dat
         + [f for f in fetched.schema.fields if f.name in carry]
     )
     return fetched.select("url", "html", *carry).mapInPandas(
-        _make_extractor(carry), schema
+        _make_extractor(carry, metrics_acc), schema
     )

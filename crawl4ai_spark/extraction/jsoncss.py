@@ -167,58 +167,172 @@ def _apply_transform(v, transform):
     return v
 
 
-def extract_field(node: _Node, field: dict):
-    sel = field.get("selector")
-    targets = select(node, sel) if sel else [node]
-    ftype = field.get("type", "text")
-    if ftype == "list":
-        sub = field.get("fields")
-        if sub:
-            return [
-                {f["name"]: extract_field(t, f) for f in sub} for t in targets
+# ---------------------------------------------------------------------------
+# XPath selector subset (JsonXPathExtractionStrategy,
+# extraction_strategy.py:1630-1705): //tag, /tag, .//tag, *, predicates
+# [@attr='v'], [@attr], [N] (per-parent position, 1-based)
+# ---------------------------------------------------------------------------
+
+_XSTEP_RE = re.compile(r"^(?P<tag>[\w*-]+)(?P<preds>(?:\[[^\]]*\])*)$")
+_XPRED_RE = re.compile(r"\[([^\]]*)\]")
+
+
+def _xpath_steps(xpath: str) -> list[tuple[str, str, list[str]]]:
+    s = xpath.strip()
+    if s.startswith("./"):
+        s = s[1:]
+    steps, i = [], 0
+    while i < len(s):
+        axis = "child"
+        if s.startswith("//", i):
+            axis, i = "desc", i + 2
+        elif s.startswith("/", i):
+            i += 1
+        j = s.find("/", i)
+        # don't split inside a predicate
+        while j != -1 and s.count("[", i, j) != s.count("]", i, j):
+            j = s.find("/", j + 1)
+        step = s[i:] if j == -1 else s[i:j]
+        i = len(s) if j == -1 else j
+        m = _XSTEP_RE.match(step)
+        if not m:
+            return []
+        steps.append((axis, m.group("tag"),
+                      _XPRED_RE.findall(m.group("preds") or "")))
+    return steps
+
+
+def _xpath_node_match(node: _Node, tag: str, preds: list[str]) -> bool:
+    if tag != "*" and node.tag != tag.lower():
+        return False
+    for p in preds:
+        p = p.strip()
+        if p.isdigit():
+            continue  # positional, handled per parent group
+        if p.startswith("@"):
+            if "=" in p:
+                k, v = p[1:].split("=", 1)
+                if node.attrs.get(k.strip()) != v.strip().strip("'\""):
+                    return False
+            elif p[1:].strip() not in node.attrs:
+                return False
+        else:
+            return False
+    return True
+
+
+def select_xpath(root: _Node, xpath: str) -> list[_Node]:
+    steps = _xpath_steps(xpath)
+    cur = [root]
+    for axis, tag, preds in steps:
+        pos = next((int(p) for p in preds if p.strip().isdigit()), None)
+        nxt, seen = [], set()
+        for base in cur:
+            pool = base.children if axis == "child" else [
+                n for n in base.iter() if n is not base
             ]
-        return [
-            _apply_transform(t.text(), field.get("transform")) for t in targets
-        ]
-    if ftype == "nested":
-        if not targets:
-            return field.get("default")
-        return {f["name"]: extract_field(targets[0], f) for f in field.get("fields", [])}
-    if not targets:
+            matched = [n for n in pool if _xpath_node_match(n, tag, preds)]
+            if pos is not None:
+                matched = matched[pos - 1:pos]
+            for n in matched:
+                if id(n) not in seen:
+                    seen.add(id(n))
+                    nxt.append(n)
+        cur = nxt
+    return cur
+
+
+def _get_elements(node: _Node, selector: str, engine: str) -> list[_Node]:
+    if engine == "xpath":
+        return select_xpath(node, selector)
+    return select(node, selector)
+
+
+def extract_field(node: _Node, field: dict, engine: str = "css"):
+    """Reference-exact field dispatch (_extract_field,
+    extraction_strategy.py:909-932): nested -> first match as an item
+    ({} when absent), list -> _extract_list_item per match (single
+    fields only), nested_list -> full item per match; anything else is
+    a single field. Errors fall back to the field default."""
+    try:
+        ftype = field.get("type", "text")
+        if ftype == "nested":
+            targets = _get_elements(node, field["selector"], engine)
+            return extract_item(targets[0], field["fields"], engine) if targets else {}
+        if ftype == "list":
+            targets = _get_elements(node, field["selector"], engine)
+            return [_extract_list_item(t, field["fields"], engine) for t in targets]
+        if ftype == "nested_list":
+            targets = _get_elements(node, field["selector"], engine)
+            return [extract_item(t, field["fields"], engine) for t in targets]
+        return _extract_single_field(node, field, engine)
+    except Exception:
         return field.get("default")
-    t = targets[0]
+
+
+def _extract_single_field(node: _Node, field: dict, engine: str):
+    """_extract_single_field (extraction_strategy.py:934-974): first
+    selector match or the element itself; regex is group(1)-only."""
+    if "selector" in field:
+        selected = _get_elements(node, field["selector"], engine)
+        if not selected:
+            return field.get("default")
+        t = selected[0]
+    else:
+        t = node
+    ftype = field.get("type", "text")
+    value = None
     if ftype == "text":
-        return _apply_transform(t.text(), field.get("transform"))
-    if ftype == "attribute":
-        return _apply_transform(
-            t.attrs.get(field.get("attribute")), field.get("transform")
-        )
-    if ftype == "html":
-        return t.outer_html()
-    if ftype == "regex":
-        m = re.search(field.get("pattern", ""), t.text())
-        return m.group(1) if (m and m.groups()) else (m.group(0) if m else field.get("default"))
-    return field.get("default")
+        value = t.text()
+    elif ftype == "attribute":
+        value = t.attrs.get(field.get("attribute"))
+    elif ftype == "html":
+        value = t.outer_html()
+    elif ftype == "regex":
+        m = re.search(field["pattern"], t.text())
+        value = m.group(1) if m else None
+    if "transform" in field:
+        value = _apply_transform(value, field["transform"])
+    return value if value is not None else field.get("default")
 
 
-def extract_rows(html: str, schema: dict) -> list[str]:
+def _extract_list_item(node: _Node, fields: list[dict], engine: str) -> dict:
+    item = {}
+    for f in fields:
+        v = _extract_single_field(node, f, engine)
+        if v is not None:
+            item[f["name"]] = v
+    return item
+
+
+def extract_item(node: _Node, fields: list[dict], engine: str = "css") -> dict:
+    """_extract_item (extraction_strategy.py:984-1009): None-valued
+    fields are OMITTED from the item, exactly like the reference."""
+    item = {}
+    for f in fields:
+        v = extract_field(node, f, engine)
+        if v is not None:
+            item[f["name"]] = v
+    return item
+
+
+def extract_rows(html: str, schema: dict, engine: str = "css") -> list[str]:
     """One page -> JSON string per schema row (the reference's IR:
     extraction_strategy.py returns a JSON list)."""
     root = parse_dom(html)
     base = schema.get("baseSelector")
-    row_nodes = select(root, base) if base else [root]
-    rows = []
-    for n in row_nodes:
-        rows.append(json.dumps(
-            {f["name"]: extract_field(n, f) for f in schema.get("fields", [])},
-            sort_keys=True,
-        ))
-    return rows
+    row_nodes = _get_elements(root, base, engine) if base else [root]
+    return [
+        json.dumps(extract_item(n, schema.get("fields", []), engine), sort_keys=True)
+        for n in row_nodes
+    ]
 
 
-def json_css_extract(df: DataFrame, schema: dict,
-                     url_col: str = "url", html_col: str = "html") -> DataFrame:
-    """mapInPandas stage: (url, html) -> exploded (url, row_json)."""
+def json_schema_extract(df: DataFrame, schema: dict, engine: str = "css",
+                        url_col: str = "url", html_col: str = "html") -> DataFrame:
+    """mapInPandas stage: (url, html) -> exploded (url, row_json).
+    `engine` = "css" (JsonCssExtractionStrategy) or "xpath"
+    (JsonXPathExtractionStrategy, extraction_strategy.py:1630-1705)."""
     out_schema = T.StructType([
         T.StructField("url", T.StringType()),
         T.StructField("rows", T.ArrayType(T.StringType())),
@@ -228,8 +342,18 @@ def json_css_extract(df: DataFrame, schema: dict,
         for pdf in batches:
             yield pd.DataFrame({
                 "url": pdf[url_col],
-                "rows": [extract_rows(h, schema) for h in pdf[html_col]],
+                "rows": [extract_rows(h, schema, engine) for h in pdf[html_col]],
             })
 
     ex = df.select(F.col(url_col), F.col(html_col)).mapInPandas(run, out_schema)
     return ex.select("url", F.explode("rows").alias("row_json"))
+
+
+def json_css_extract(df: DataFrame, schema: dict,
+                     url_col: str = "url", html_col: str = "html") -> DataFrame:
+    return json_schema_extract(df, schema, "css", url_col, html_col)
+
+
+def json_xpath_extract(df: DataFrame, schema: dict,
+                       url_col: str = "url", html_col: str = "html") -> DataFrame:
+    return json_schema_extract(df, schema, "xpath", url_col, html_col)

@@ -184,21 +184,35 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 1,
     threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs (id_a < id_b, jaccard >= t).
 
     Relational shape: explode to (id, shingle) distinct, self-join on
     shingle to count intersections, join per-doc set sizes for the
-    union. Only pairs sharing >= 1 shingle are ever materialized; at
-    scale add a document-frequency cap on shingles (drop shingles in
-    > K docs) to bound hub-shingle blowup.
+    union. Only pairs sharing >= 1 shingle are ever materialized.
+
+    ``max_shingle_df`` is the hub-shingle cap — the 100 TB guard: a
+    boilerplate shingle present in 10^6 docs would alone contribute
+    10^12 join rows. Shingles with document frequency > K are dropped
+    from the INTERSECTION join only; set sizes still count every
+    shingle, so capped jaccard <= exact jaccard (pairs can only be
+    missed, never inflated — a conservative dedup).
     """
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("sh"),
     ).dropDuplicates(["id", "sh"])
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
+    join_sh = sh
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= max_shingle_df)
+            .select("sh")
+        )
+        join_sh = sh.join(rare, "sh", "left_semi")
+    a, b = join_sh.alias("a"), join_sh.alias("b")
     inter = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
@@ -215,6 +229,115 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", "jaccard")
     )
     return out
+
+
+def connected_components_min(edges: DataFrame, id_a: str = "id_a",
+                             id_b: str = "id_b",
+                             max_iters: int = 50) -> DataFrame:
+    """Connected components by iterative min-label propagation:
+    label(v) <- min(label(v), min over neighbors' labels) until a
+    fixpoint. Returns (id, component) for every vertex in `edges`.
+
+    Near-dup components are tiny (diameter ~ a few hops), so the loop
+    converges in O(log diameter) rounds; each round is one join +
+    groupBy over the edge list (never the corpus). The convergence
+    check rides the aggregation (max-changed flag), one job per round.
+    """
+    sym = (
+        edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = sym.select("src").distinct().withColumn("label", F.col("src")).persist()
+    for _ in range(max_iters):
+        nbr_min = (
+            sym.join(labels.withColumnRenamed("src", "dst")
+                     .withColumnRenamed("label", "nbr_label"), "dst")
+            .groupBy("src").agg(F.min("nbr_label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "src", "left")
+            .select(
+                "src",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))).alias("label"),
+                (F.coalesce(F.col("nbr_min"), F.col("label")) < F.col("label")).alias("changed"),
+            )
+        ).persist()
+        n_changed = new_labels.where("changed").count()
+        labels.unpersist()
+        labels = new_labels.drop("changed")
+        if n_changed == 0:
+            break
+    out = labels.select(F.col("src").alias("id"), F.col("label").alias("component"))
+    sym.unpersist()
+    return out
+
+
+def dedup_pipeline(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.6,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """The production near-dup path, end to end:
+
+        LSH candidates  ->  exact Jaccard verify  ->  connected
+        components  ->  keeper selection (min id per component)
+
+    Output: (doc_id, keeper_id) for every doc in a verified duplicate
+    group (keeper rows included, keeper_id == doc_id there). Nothing in
+    the chain is all-pairs: candidates come from band buckets, the
+    verify join touches candidate pairs only, and components propagate
+    over the (tiny) verified edge list.
+    """
+    cand = lsh_candidate_pairs(
+        df, text_col, id_col, num_hashes=num_hashes, bands=bands,
+        shingle_n=shingle_n,
+    ).select("id_a", "id_b")
+
+    # exact verify restricted to candidate pairs: count common shingles
+    # per pair via two semi-equi-joins against the (id, shingle) table
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_ngrams(text_col, shingle_n))).alias("sh"),
+    ).dropDuplicates(["id", "sh"])
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= max_shingle_df).select("sh")
+        )
+        join_sh = sh.join(rare, "sh", "left_semi")
+    else:
+        join_sh = sh
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a_sh = join_sh.select(F.col("id").alias("id_a"), "sh")
+    b_sh = join_sh.select(F.col("id").alias("id_b"), "sh")
+    common = (
+        cand.join(a_sh, "id_a").join(b_sh, ["id_b", "sh"])
+        .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("common"))
+    )
+    verified = (
+        common
+        .join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .where(
+            F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
+            >= threshold
+        )
+        .select("id_a", "id_b")
+    )
+
+    comps = connected_components_min(verified)
+    return comps.select(
+        F.col("id").alias("doc_id"), F.col("component").alias("keeper_id")
+    )
 
 
 def embedding_neardup_pairs(

@@ -161,6 +161,152 @@ def chunk_sliding_window(df: DataFrame, text_col: str, window: int, step: int,
     return df.select("*", F.posexplode(chunks).alias("chunk_id", out_col))
 
 
+def chunk_regex(df: DataFrame, text_col: str, patterns: list[str] | None = None,
+                out_col: str = "chunk") -> DataFrame:
+    """RegexChunking (chunking_strategy.py:38-62): sequential re.split
+    by each pattern (default paragraph split '\\n\\n'), empties kept —
+    exactly the reference's nested split loop, as array HOFs."""
+    patterns = patterns or [r"\n\n"]
+    parts = F.split(_c(text_col), patterns[0], -1)
+    for p in patterns[1:]:
+        parts = F.flatten(F.transform(parts, lambda x: F.split(x, p, -1)))
+    return df.select("*", F.posexplode(parts).alias("chunk_id", out_col))
+
+
+def chunk_sentences(df: DataFrame, text_col: str,
+                    out_col: str = "sentence") -> DataFrame:
+    """NlpSentenceChunking (chunking_strategy.py:65-91): sentence split +
+    strip + SET semantics (the reference returns list(set(sens)), so
+    order is not part of the contract — we emit distinct sentences).
+    The nltk punkt model is replaced by the boundary regex the reference
+    itself ships as the no-nltk fallback (chunking_strategy.py:79-82)."""
+    sents = F.split(_c(text_col), r"(?<=[.!?])\s+", -1)
+    sents = F.array_distinct(
+        F.filter(F.transform(sents, F.trim), lambda s: s != "")
+    )
+    return df.select("*", F.explode(sents).alias(out_col))
+
+
+def chunk_overlapping(df: DataFrame, text_col: str, window: int = 1000,
+                      overlap: int = 100, out_col: str = "chunk") -> DataFrame:
+    """OverlappingWindowChunking (chunking_strategy.py:215-256): windows
+    of `window` words advancing by window-overlap; short docs yield the
+    original text unchanged; the final window is the first one whose end
+    reaches the last word (the while-loop break)."""
+    step = window - overlap
+    toks = tokens(text_col)
+    n = F.size(toks)
+    # last start k*step is the smallest with start+window >= n
+    last_k = F.ceil((n - window).cast("double") / step).cast("int")
+    starts = F.sequence(F.lit(1), last_k * step + 1, F.lit(step))
+    chunks = F.when(
+        n <= window, F.array(_c(text_col))
+    ).otherwise(
+        F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, window)))
+    )
+    return df.select("*", F.posexplode(chunks).alias("chunk_id", out_col))
+
+
+def merge_chunks_tokens(df: DataFrame, text_col: str, target_size: int,
+                        order_col: str = "doc_id",
+                        out_col: str = "chunk") -> DataFrame:
+    """Token-bounded merge of many docs into ~target_size-token chunks
+    (utils.py:161-223 merge_chunks, overlap=0, ratio=1): tokens are laid
+    out in doc order and chunk k takes global token indexes
+    [k*target, (k+1)*target), the last chunk absorbing the remainder —
+    bit-identical to the reference's sequential distribution loop.
+
+    Scale note: the doc-offset prefix sum is a window over one row PER
+    DOC (8-byte counts, not tokens); at 10^9+ docs replace it with a
+    bucketed two-stage prefix sum. Token rows shuffle once, grouped by
+    their target chunk."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(order_col), tokens(text_col).alias("__toks")
+    ).withColumn("__cnt", F.size("__toks")).where(F.col("__cnt") > 0)
+    w = Window.orderBy(order_col).rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    toks = toks.withColumn("__off", F.coalesce(F.sum("__cnt").over(w), F.lit(0))) \
+               .withColumn("__total", F.sum("__cnt").over(wall))
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil(F.col("__total").cast("double") / target_size).cast("long")
+    )
+    tok = toks.select(
+        "__off", n_chunks.alias("__nc"),
+        F.posexplode("__toks").alias("__pos", "__tok"),
+    ).select(
+        (F.col("__off") + F.col("__pos")).alias("__gidx"),
+        F.least(
+            F.floor((F.col("__off") + F.col("__pos")) / target_size),
+            F.col("__nc") - 1,
+        ).alias("chunk_id"),
+        "__tok",
+    )
+    return (
+        tok.groupBy("chunk_id")
+        .agg(F.array_sort(F.collect_list(F.struct("__gidx", "__tok"))).alias("a"))
+        .select(
+            "chunk_id",
+            F.concat_ws(" ", F.transform("a", lambda s: s["__tok"])).alias(out_col),
+        )
+    )
+
+
+# -- RegexExtractionStrategy built-in catalog --------------------------------
+# The reference's 21 named patterns (extraction_strategy.py:1784-1810
+# DEFAULT_PATTERNS), compiled there with IGNORECASE|MULTILINE; none use
+# ^/$ so (?i) carries the full flag semantics cross-engine.
+REGEX_CATALOG: dict[str, str] = {
+    "email":          r"[\w.+-]+@[\w-]+\.[\w.-]+",
+    "phone_intl":     r"\+?\d[\d .()-]{7,}\d",
+    "phone_us":       r"\(?\d{3}\)?[ -. ]?\d{3}[ -. ]?\d{4}",
+    "url":            r"https?://[^\s\"'<>]+",
+    "ipv4":           r"(?:\d{1,3}\.){3}\d{1,3}",
+    "ipv6":           r"[A-F0-9]{1,4}(?::[A-F0-9]{1,4}){7}",
+    "uuid":           r"[0-9a-f]{8}-[0-9a-f]{4}-[1-5][0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}",
+    "currency":       r"(?:USD|EUR|RM|\$|€|£)\s?\d+(?:[.,]\d{2})?",
+    "percentage":     r"\d+(?:\.\d+)?%",
+    "number":         r"\b\d{1,3}(?:[,.\s]\d{3})*(?:\.\d+)?\b",
+    "date_iso":       r"\d{4}-\d{2}-\d{2}",
+    "date_us":        r"\d{1,2}/\d{1,2}/\d{2,4}",
+    "time_24h":       r"\b(?:[01]?\d|2[0-3]):[0-5]\d(?:[:.][0-5]\d)?\b",
+    "postal_us":      r"\b\d{5}(?:-\d{4})?\b",
+    "postal_uk":      r"\b[A-Z]{1,2}\d[A-Z\d]? ?\d[A-Z]{2}\b",
+    "html_color_hex": r"#[0-9A-Fa-f]{6}\b",
+    "twitter_handle": r"@[\w]{1,15}",
+    "hashtag":        r"#[\w-]+",
+    "mac_addr":       r"(?:[0-9A-Fa-f]{2}:){5}[0-9A-Fa-f]{2}",
+    "iban":           r"[A-Z]{2}\d{2}[A-Z0-9]{11,30}",
+    "credit_card":    r"\b(?:4\d{12}(?:\d{3})?|5[1-5]\d{14}|3[47]\d{13}|6(?:011|5\d{2})\d{12})\b",
+}
+
+
+def regex_extract_catalog(df: DataFrame, text_col: str,
+                          labels: list[str] | None = None,
+                          custom: dict[str, str] | None = None) -> DataFrame:
+    """RegexExtractionStrategy with built-in pattern selection
+    (extraction_strategy.py:1726-1752 IntFlag filter + custom merge):
+    one per-match row (doc_id, label, value), all patterns evaluated in
+    a single codegen'd pass — no Python, no per-pattern scans."""
+    merged = {l: REGEX_CATALOG[l] for l in (labels or REGEX_CATALOG)}
+    merged.update(custom or {})
+    per_label = F.array(*[
+        F.struct(
+            F.lit(label).alias("label"),
+            F.regexp_extract_all(
+                F.col(text_col), F.lit("(?i)" + pat), F.lit(0)
+            ).alias("vals"),
+        )
+        for label, pat in merged.items()
+    ])
+    return (
+        df.select("doc_id", F.explode(per_label).alias("m"))
+        .select("doc_id", F.col("m.label").alias("label"),
+                F.explode("m.vals").alias("value"))
+    )
+
+
 def regex_extract_tokens(df: DataFrame, text_col: str, pattern: str,
                          label: str) -> DataFrame:
     """RegexExtractionStrategy (extraction_strategy.py:1706-1865) as

@@ -984,6 +984,120 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(docs, n=1, threshold=0.6)
 
 
+_NGRAM_CAP = 390
+
+_NGRAM_CAPPED_ORACLE = f"""
+WITH sh AS (
+  SELECT DISTINCT CAST(doc_id AS BIGINT) AS id, UNNEST(string_split(text, ' ')) AS sh
+  FROM documents
+),
+sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+rare AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= {_NGRAM_CAP}),
+js AS (SELECT s.id, s.sh FROM sh s JOIN rare r ON r.sh = s.sh),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS common
+  FROM js a JOIN js b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b,
+  CAST(ROUND(common * 1.0 / (sa.sz + sb.sz - common), 6) AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE common * 1.0 / (sa.sz + sb.sz - common) >= 0.25
+"""
+
+
+@register("dedup_ngram_capped", _NGRAM_CAPPED_ORACLE)
+def dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ngram_jaccard_pairs with the hub-shingle DF cap engaged (df <= 390
+    shingles join; set sizes uncapped, so jaccard is conservative) — the
+    shape that bounds the self-join at 100 TB."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return dedup.ngram_jaccard_pairs(
+        docs, n=1, threshold=0.25, max_shingle_df=_NGRAM_CAP
+    )
+
+
+def _dedup_pipeline_oracle() -> str:
+    rows = _MINHASH_H // _MINHASH_BANDS
+    toks = "string_split(text, ' ')"
+    bi = (f"list_transform(range(1, greatest(2, len({toks}))), "
+          f"i -> array_to_string(list_slice({toks}, i, i + 1), ' '))")
+    sig_terms = ", ".join(
+        f"list_min(list_transform(sh, s -> {_h64('s', seed=k)}))"
+        for k in range(_MINHASH_H)
+    )
+    band_selects = " UNION ALL ".join(
+        f"""SELECT id, {b} AS band, md5({" || ',' || ".join(
+            f"CAST(sig[{b * rows + r + 1}] AS VARCHAR)" for r in range(rows)
+        )}) AS key FROM sigs"""
+        for b in range(_MINHASH_BANDS)
+    )
+    return f"""
+WITH RECURSIVE
+all_docs AS (
+  SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT) + 10000, text || ' join hash'
+  FROM documents WHERE doc_id % 5 = 0
+),
+shl AS (SELECT id, list_distinct({bi}) AS sh FROM all_docs),
+sigs AS (SELECT id, [{sig_terms}] AS sig FROM shl),
+banded AS ({band_selects}),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+),
+shex AS (SELECT DISTINCT id, UNNEST(sh) AS s FROM shl),
+sizes AS (SELECT id, COUNT(*) AS sz FROM shex GROUP BY id),
+common AS (
+  SELECT p.id_a, p.id_b, COUNT(*) AS c
+  FROM pairs p
+  JOIN shex a ON a.id = p.id_a
+  JOIN shex b ON b.id = p.id_b AND b.s = a.s
+  GROUP BY p.id_a, p.id_b
+),
+verified AS (
+  SELECT c.id_a, c.id_b FROM common c
+  JOIN sizes sa ON sa.id = c.id_a
+  JOIN sizes sb ON sb.id = c.id_b
+  WHERE c.c / (sa.sz + sb.sz - c.c) >= 0.5
+),
+sym AS (
+  SELECT id_a AS s, id_b AS d FROM verified
+  UNION SELECT id_b, id_a FROM verified
+),
+conn AS (
+  SELECT s, d FROM sym
+  UNION
+  SELECT c.s, e.d FROM conn c JOIN sym e ON e.s = c.d
+)
+SELECT s AS doc_id, LEAST(s, MIN(d)) AS keeper_id FROM conn GROUP BY s
+"""
+
+
+@register("dedup_pipeline", _dedup_pipeline_oracle())
+def dedup_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production near-dup path end to end: LSH candidates -> exact
+    Jaccard verify on candidates only -> connected components (min-label
+    propagation) -> keeper per duplicate group. Oracle: the same chain
+    in SQL with a recursive-CTE transitive closure."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    dups = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat("text", F.lit(" join hash")).alias("text"),
+    )
+    return dedup.dedup_pipeline(
+        docs.unionByName(dups), num_hashes=_MINHASH_H, bands=_MINHASH_BANDS,
+        shingle_n=2, threshold=0.5,
+    )
+
+
 def _emb_cos_sql(av: str, bv: str, dim: int = 64) -> str:
     dot = (f"list_sum(list_transform(range(1, {dim + 1}), "
            f"j -> CAST({av}[j] AS DOUBLE) * CAST({bv}[j] AS DOUBLE)))")
@@ -1399,15 +1513,17 @@ def link_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _jsoncss_oracle() -> str:
     url_i = _url_sql("i")
-    # json.dumps(sort_keys=True) layout: {"img": ..., "link0": ..., "title": ...}
+    # json.dumps(sort_keys=True) layout; None-valued fields are OMITTED
+    # (reference _extract_item, extraction_strategy.py:984-1009), so leaf
+    # pages have no "link0" key at all
     return f"""
 WITH docs AS ({_DOCS_I}),
 cnt AS ({_CNT}),
 k AS (SELECT i, {_KIDS_SQL} AS ks FROM docs, cnt)
 SELECT {url_i} AS url,
-  ('{{"img": "https://cdn.example.com/img/' || CAST(i AS VARCHAR) || '.png", '
-   || '"link0": ' || CASE WHEN len(ks) > 0
-        THEN '"go ' || CAST(ks[1] AS VARCHAR) || '"' ELSE 'null' END
+  ('{{"img": "https://cdn.example.com/img/' || CAST(i AS VARCHAR) || '.png"'
+   || CASE WHEN len(ks) > 0
+        THEN ', "link0": "go ' || CAST(ks[1] AS VARCHAR) || '"' ELSE '' END
    || ', "title": "Doc ' || CAST(i AS VARCHAR) || '"}}') AS row_json
 FROM k
 """
@@ -1433,6 +1549,138 @@ def jsoncss_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return json_css_extract(
         corpus.withColumnRenamed("url_norm", "url"), schema
     )
+
+
+_ROUTING_ORACLE = f"""
+WITH docs AS ({_DOCS_I}),
+u AS (SELECT i, {_url_sql('i')} AS url FROM docs)
+SELECT url,
+  CASE WHEN url GLOB '*page/1*' THEN 0
+       WHEN url GLOB '*page/12*' THEN 1
+       WHEN (url GLOB '*page/2*' OR url GLOB '*page/3*') THEN 2
+  END AS config_id
+FROM u
+WHERE url GLOB '*page/1*' OR url GLOB '*page/2*' OR url GLOB '*page/3*'
+"""
+
+
+@register("config_routing", _ROUTING_ORACLE)
+def config_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-URL config routing (async_dispatcher.py:101-125): first-match
+    glob selection compiled to one when-chain; config 1 is shadowed by
+    config 0 (first-match proof) and unmatched URLs are skipped."""
+    from crawl4ai_spark.engine.routing import route_configs
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    urls = docs.select(url_expr(i).alias("url_norm"))
+    configs = [
+        {"url_matcher": "*page/1*"},
+        {"url_matcher": "*page/12*"},      # unreachable: 0 matches first
+        {"url_matcher": ["*page/2*", "*page/3*"], "match_mode": "or"},
+    ]
+    out = route_configs(urls, configs)
+    return out.select(F.col("url_norm").alias("url"), "config_id")
+
+
+# json.dumps layouts for the nested schema, per page shape
+_NESTED_ORACLE = f"""
+WITH docs AS ({_DOCS_I}),
+cnt AS ({_CNT}),
+k AS (SELECT i, {_KIDS_SQL} AS ks FROM docs, cnt)
+SELECT {_url_sql('i')} AS url,
+       ('https://cdn.example.com/img/' || CAST(i AS VARCHAR) || '.png') AS img_src,
+       CAST(t.j - 1 AS INT) AS idx,
+       ('go ' || CAST(ks[t.j] AS VARCHAR)) AS link_text,
+       {_url_sql('ks[t.j]')} AS link_href
+FROM k, UNNEST(range(1, len(ks) + 1)) AS t(j)
+WHERE len(ks) > 0
+UNION ALL
+SELECT {_url_sql('i')},
+       ('https://cdn.example.com/img/' || CAST(i AS VARCHAR) || '.png'),
+       CAST(NULL AS INT), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+FROM k WHERE len(ks) = 0
+"""
+
+
+@register("jsoncss_nested", _NESTED_ORACLE)
+def jsoncss_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nested_list + nested field types (extraction_strategy.py:909-932):
+    one li-item object per link (text + href sub-fields) plus a nested
+    img object, flattened via from_json + posexplode_outer for the
+    value-exact compare."""
+    from crawl4ai_spark.extraction.jsoncss import json_css_extract
+
+    corpus = build_corpus(_t(spark, sf_dir, "documents"))
+    schema = {
+        "baseSelector": "body",
+        "fields": [
+            {"name": "items", "type": "nested_list", "selector": "li",
+             "fields": [
+                 {"name": "t", "selector": "a", "type": "text"},
+                 {"name": "href", "selector": "a", "type": "attribute",
+                  "attribute": "href"},
+             ]},
+            {"name": "img", "type": "nested", "selector": "img",
+             "fields": [
+                 {"name": "src", "type": "attribute", "attribute": "src"},
+             ]},
+        ],
+    }
+    out = json_css_extract(corpus.withColumnRenamed("url_norm", "url"), schema)
+    parsed = out.select(
+        "url",
+        F.from_json(
+            "row_json",
+            "img struct<src:string>, items array<struct<href:string,t:string>>",
+        ).alias("r"),
+    )
+    return parsed.select(
+        "url",
+        F.col("r.img.src").alias("img_src"),
+        F.posexplode_outer("r.items").alias("idx", "it"),
+    ).select(
+        "url", "img_src", F.col("idx").cast("int").alias("idx"),
+        F.col("it.t").alias("link_text"), F.col("it.href").alias("link_href"),
+    )
+
+
+_XPATH_ORACLE = f"""
+WITH docs AS ({_DOCS_I}),
+cnt AS ({_CNT}),
+k AS (SELECT i, {_KIDS_SQL} AS ks FROM docs, cnt)
+SELECT {_url_sql('i')} AS url,
+       ('Doc ' || CAST(i AS VARCHAR)) AS title,
+       ('https://cdn.example.com/img/' || CAST(i AS VARCHAR) || '.png') AS img,
+       CASE WHEN len(ks) >= 2 THEN 'go ' || CAST(ks[2] AS VARCHAR) END AS second_link
+FROM k
+"""
+
+
+@register("jsonxpath_extract", _XPATH_ORACLE)
+def jsonxpath_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JsonXPathExtractionStrategy subset (extraction_strategy.py:
+    1630-1705): //-descendant steps, attribute + positional predicates
+    over the synthetic corpus; li[2] exercises per-parent positions."""
+    from crawl4ai_spark.extraction.jsoncss import json_xpath_extract
+
+    corpus = build_corpus(_t(spark, sf_dir, "documents"))
+    schema = {
+        "baseSelector": "//body",
+        "fields": [
+            {"name": "title", "selector": ".//h1", "type": "text"},
+            {"name": "img", "selector": ".//img", "type": "attribute",
+             "attribute": "src"},
+            {"name": "second_link", "selector": ".//li[2]/a", "type": "text"},
+        ],
+    }
+    out = json_xpath_extract(corpus.withColumnRenamed("url_norm", "url"), schema)
+    return out.select(
+        "url",
+        F.from_json(
+            "row_json", "img string, second_link string, title string"
+        ).alias("r"),
+    ).select("url", "r.title", "r.img", "r.second_link")
 
 
 _EMAIL_PATTERN = r"[\w.+-]+@[\w-]+\.[\w.-]+"
@@ -1570,6 +1818,184 @@ def url_domain_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = docs.select(i.alias("doc_id"), url.alias("url_norm"))
     out = domain_authority_score(df, weights_df=weights, default=0.5, weight=2.0)
     return out.select("doc_id", F.round("domain_score", 6).alias("domain_score"))
+
+
+# -- chunking strategy completion (chunking_strategy.py:38-256) -------------
+
+_CHUNK_REGEX_ORACLE = """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         string_split(text || chr(10)||chr(10) || 'p2 of ' || CAST(doc_id AS VARCHAR)
+                      || chr(10)||chr(10), chr(10)||chr(10)) AS a
+  FROM documents
+)
+SELECT doc_id, CAST(t.i - 1 AS INT) AS chunk_id, a[t.i] AS chunk
+FROM d, UNNEST(range(1, len(d.a) + 1)) AS t(i)
+"""
+
+
+@register("chunks_regex", _CHUNK_REGEX_ORACLE)
+def chunks_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RegexChunking (chunking_strategy.py:38-62): re.split semantics
+    incl. kept empties — text augmented with two paragraph breaks so the
+    split is non-trivial (a trailing empty chunk is part of the check)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(
+            "text", F.lit("\n\np2 of "), F.col("doc_id").cast("string"), F.lit("\n\n")
+        ).alias("text"),
+    )
+    out = text_ops.chunk_regex(docs, "text")
+    return out.select("doc_id", F.col("chunk_id").cast("int").alias("chunk_id"), "chunk")
+
+
+_CHUNK_SENT_ORACLE = """
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents)
+SELECT doc_id, text || '.' AS sentence FROM d
+UNION ALL SELECT doc_id, 'End one!' FROM d
+UNION ALL SELECT doc_id, 'Done?' FROM d
+"""
+
+
+@register("chunks_sentences", _CHUNK_SENT_ORACLE)
+def chunks_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NlpSentenceChunking (chunking_strategy.py:65-91): boundary split +
+    strip + set semantics. The corpus text has no sentence punctuation
+    (verified), so the expected sentence set is constructible exactly:
+    the duplicated 'End one!' must collapse to one row."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat("text", F.lit(". End one! End one! Done?")).alias("text"),
+    )
+    return text_ops.chunk_sentences(docs, "text").select("doc_id", "sentence")
+
+
+_OVL_W, _OVL_OV = 12, 4
+
+_CHUNK_OVL_ORACLE = f"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+         string_split(text, ' ') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id, text, toks, len(toks) AS n,
+         CASE WHEN len(toks) <= {_OVL_W} THEN [text]
+              ELSE list_transform(
+                range(1, CAST(ceil((len(toks) - {_OVL_W}) / {_OVL_W - _OVL_OV}.0) AS BIGINT)
+                         * {_OVL_W - _OVL_OV} + 2, {_OVL_W - _OVL_OV}),
+                i -> array_to_string(list_slice(toks, i, i + {_OVL_W} - 1), ' '))
+         END AS a
+  FROM d
+)
+SELECT doc_id, CAST(t.i - 1 AS INT) AS chunk_id, a[t.i] AS chunk
+FROM s, UNNEST(range(1, len(s.a) + 1)) AS t(i)
+"""
+
+
+@register("chunks_overlap", _CHUNK_OVL_ORACLE)
+def chunks_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OverlappingWindowChunking (chunking_strategy.py:215-256): window
+    12, overlap 4 — short docs pass through whole, the last window is
+    the first reaching the final word."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    out = text_ops.chunk_overlapping(docs, "text", window=_OVL_W, overlap=_OVL_OV)
+    return out.select("doc_id", F.col("chunk_id").cast("int").alias("chunk_id"), "chunk")
+
+
+_MERGE_TARGET = 40
+
+_CHUNK_MERGE_ORACLE = f"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, string_split(text, ' ') AS toks
+  FROM documents
+),
+c AS (
+  SELECT doc_id, toks, len(toks) AS cnt,
+         COALESCE(SUM(len(toks)) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off,
+         SUM(len(toks)) OVER () AS total
+  FROM d WHERE len(toks) > 0
+),
+tok AS (
+  SELECT off + t.i - 1 AS gidx,
+         LEAST(CAST(FLOOR((off + t.i - 1) / {_MERGE_TARGET}.0) AS BIGINT),
+               CAST(CEIL(total / {_MERGE_TARGET}.0) AS BIGINT) - 1) AS chunk_id,
+         toks[t.i] AS tk
+  FROM c, UNNEST(range(1, cnt + 1)) AS t(i)
+)
+SELECT chunk_id, string_agg(tk, ' ' ORDER BY gidx) AS chunk
+FROM tok GROUP BY chunk_id
+"""
+
+
+@register("chunks_merge", _CHUNK_MERGE_ORACLE)
+def chunks_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-bounded merge of many docs into ~40-token chunks
+    (utils.py:161-223 merge_chunks, overlap=0)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return text_ops.merge_chunks_tokens(docs, "text", _MERGE_TARGET)
+
+
+# -- RegexExtractionStrategy built-in catalog --------------------------------
+
+_CATALOG_LABELS = [
+    "email", "url", "ipv4", "uuid", "date_iso", "time_24h", "percentage",
+    "currency", "html_color_hex", "twitter_handle", "hashtag", "mac_addr",
+    "credit_card",
+]
+
+_CATALOG_AUG_SQL = (
+    "text || ' a' || CAST(doc_id AS VARCHAR) || '@ex.com https://x' || CAST(doc_id AS VARCHAR)"
+    " || '.org/p 10.0.' || CAST(doc_id % 200 AS VARCHAR) || '.9 2024-03-15 12:30 99.5%'"
+    " || ' $450.25 #C0FFEE @user' || CAST(doc_id AS VARCHAR)"
+    " || ' 0a:1b:2c:3d:4e:5f F47AC10B-58cc-4372-a567-0e02b2c3d479 4111111111111111'"
+)
+
+
+def _catalog_oracle() -> str:
+    from crawl4ai_spark.ops.text import REGEX_CATALOG
+
+    branches = []
+    for label in _CATALOG_LABELS:
+        pat = REGEX_CATALOG[label].replace("'", "''")
+        branches.append(
+            f"SELECT doc_id, '{label}' AS label, "
+            f"UNNEST(regexp_extract_all(t, '{pat}', 0, 'i')) AS value FROM d"
+        )
+    return (
+        "WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        f"{_CATALOG_AUG_SQL} AS t FROM documents)\n"
+        "SELECT doc_id, label, value, COUNT(*) AS n FROM (\n"
+        + "\nUNION ALL\n".join(branches)
+        + "\n) GROUP BY doc_id, label, value"
+    )
+
+
+@register("regex_builtin_catalog", _catalog_oracle())
+def regex_builtin_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RegexExtractionStrategy's built-in pattern catalog
+    (extraction_strategy.py:1784-1810) — 13 of the 21 labels evaluated
+    in one codegen'd pass over entity-augmented text; overlapping labels
+    (hashtag vs hex color, handle inside email) intentionally included."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(
+            "text",
+            F.lit(" a"), F.col("doc_id").cast("string"), F.lit("@ex.com https://x"),
+            F.col("doc_id").cast("string"), F.lit(".org/p 10.0."),
+            F.pmod(F.col("doc_id").cast("long"), F.lit(200)).cast("string"),
+            F.lit(".9 2024-03-15 12:30 99.5% $450.25 #C0FFEE @user"),
+            F.col("doc_id").cast("string"),
+            F.lit(" 0a:1b:2c:3d:4e:5f F47AC10B-58cc-4372-a567-0e02b2c3d479 4111111111111111"),
+        ).alias("text"),
+    )
+    out = text_ops.regex_extract_catalog(docs, "text", labels=_CATALOG_LABELS)
+    return out.groupBy("doc_id", "label", "value").agg(F.count(F.lit(1)).alias("n"))
 
 
 _BPE_ORACLE = r"""

@@ -51,10 +51,61 @@ def test_jsoncss_extract_rows():
         ],
     }
     rows = [json.loads(r) for r in extract_rows(HTML, schema)]
+    # None-valued fields are omitted, mirroring _extract_item
+    # (extraction_strategy.py:984-1009)
     assert rows == [
         {"name": "Widget A", "price": "9.99", "img": "/img/1.png",
          "link_title": "buy"},
-        {"name": "Widget B", "price": "19.99", "img": None, "link_title": None},
+        {"name": "Widget B", "price": "19.99"},
+    ]
+
+
+def test_jsoncss_nested_list_and_list():
+    schema = {
+        "baseSelector": "body",
+        "fields": [
+            {"name": "products", "type": "nested_list", "selector": "div.product",
+             "fields": [
+                 {"name": "name", "selector": "h2", "type": "text"},
+                 {"name": "buy", "selector": "a", "type": "text"},
+             ]},
+            {"name": "prices", "type": "list", "selector": ".price",
+             "fields": [{"name": "v", "type": "text"}]},
+        ],
+    }
+    rows = [json.loads(r) for r in extract_rows(HTML, schema)]
+    assert rows == [{
+        "products": [
+            {"name": "Widget A", "buy": "Buy now"},
+            {"name": "Widget B"},          # no <a> -> field omitted
+        ],
+        "prices": [{"v": "9.99"}, {"v": "19.99"}],
+    }]
+
+
+def test_jsonxpath_selectors():
+    from crawl4ai_spark.extraction.jsoncss import select_xpath
+
+    root = parse_dom(HTML)
+    assert len(select_xpath(root, "//div")) == 2
+    assert select_xpath(root, "//div[@id='p2']")[0].attrs["id"] == "p2"
+    assert len(select_xpath(root, "//div/h2")) == 2
+    assert select_xpath(root, "//div[2]/h2")[0].text() == "Widget B"
+    assert len(select_xpath(root, "//body//span")) == 2
+    assert select_xpath(root, ".//img")[0].attrs["src"] == "/img/1.png"
+
+    schema = {
+        "baseSelector": "//div[@class='product']",
+        "fields": [
+            {"name": "name", "selector": ".//h2", "type": "text"},
+            {"name": "img", "selector": ".//img", "type": "attribute",
+             "attribute": "src"},
+        ],
+    }
+    rows = [json.loads(r) for r in extract_rows(HTML, schema, engine="xpath")]
+    assert rows == [
+        {"name": "Widget A", "img": "/img/1.png"},
+        {"name": "Widget B"},
     ]
 
 
@@ -64,13 +115,19 @@ def test_jsoncss_regex_and_nested():
         "fields": [
             {"name": "cents", "selector": ".price", "type": "regex",
              "pattern": r"\.(\d+)"},
-            {"name": "meta", "type": "nested", "fields": [
+            # nested requires a selector (the reference's _extract_field
+            # does field["selector"] unconditionally; missing -> default)
+            {"name": "meta", "type": "nested", "selector": "h2", "fields": [
+                {"name": "n", "type": "text"},
+            ]},
+            {"name": "nosel", "type": "nested", "fields": [
                 {"name": "n", "selector": "h2", "type": "text"},
             ]},
         ],
     }
     rows = [json.loads(r) for r in extract_rows(HTML, schema)]
     assert rows[0]["cents"] == "99" and rows[0]["meta"] == {"n": "Widget A"}
+    assert "nosel" not in rows[0]
 
 
 def test_bm25_matches_formula(spark):
