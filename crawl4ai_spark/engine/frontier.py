@@ -109,6 +109,11 @@ class CrawlConfig:
     # config dicts with optional url_matcher globs; first match wins,
     # unmatched URLs are skipped. Pages carry the winning config_id.
     url_configs: Optional[list] = None
+    # adaptive stopping (AdaptiveCrawler.digest, adaptive_crawler.py:
+    # 1325-1349 + should_stop :505-523): dict with `query_terms` plus
+    # optional confidence_threshold (0.7), saturation_threshold (0.8),
+    # check_every (rounds between confidence evaluations). None = off.
+    adaptive: Optional[dict] = None
 
 
 FRONTIER_FIELDS = [
@@ -239,6 +244,13 @@ class CrawlEngine:
             .withColumn("retry_count", F.lit(0))
             .withColumn("wait_rounds", F.lit(0))
         )
+        # re-spread after the dedup shuffle: AQE would coalesce the
+        # (byte-small, row-expensive) frontier to one partition, making
+        # seeding AND round 0's scan serial — same parallelism floor as
+        # _run_round
+        df = df.repartition(
+            self.spark.sparkContext.defaultParallelism, F.col("url_norm")
+        )
         frontier = self._to_state(self._frontier_row(df))
         obs = Observation()
         self.t_frontier.overwrite(frontier.observe(obs, F.count(F.lit(1)).alias("n")))
@@ -299,13 +311,69 @@ class CrawlEngine:
             crawled = self._run_round(rnd, frontier, crawled)
             stats["rounds"] += 1
             stats["pages_crawled"] = crawled
+            if cfg.adaptive is not None:
+                every = cfg.adaptive.get("check_every", 1)
+                if (stats["rounds"] % every) == 0:
+                    m = self._adaptive_metrics()
+                    stats["adaptive"] = m
+                    if self._adaptive_should_stop(m):
+                        stats["stopped_by"] = "adaptive_confidence"
+                        break
         return stats
+
+    def _adaptive_metrics(self) -> dict:
+        """Confidence over everything crawled so far (page markdown is
+        the knowledge-base text, like the reference's cleaned_html-fed
+        corpus)."""
+        from crawl4ai_spark.ops.adaptive import confidence_metrics
+
+        pages = self.t_pages.read(self.spark)
+        docs = (
+            pages.where("success")
+            .select(
+                F.col("url_norm").alias("doc_id"),
+                F.coalesce(F.col("markdown"), F.lit("")).alias("text"),
+                "round",
+            )
+            # the knowledge base is keyed by URL: the seed re-crawl quirk
+            # (and any re-fetch) must not double-count a page; earliest
+            # round wins deterministically
+            .groupBy("doc_id")
+            .agg(F.min(F.struct("round", "text")).alias("rt"))
+            .select("doc_id", F.col("rt.text").alias("text"),
+                    F.col("rt.round").alias("round"))
+        )
+        return confidence_metrics(docs, self.cfg.adaptive["query_terms"])
+
+    def _adaptive_should_stop(self, m: dict) -> bool:
+        """should_stop (adaptive_crawler.py:505-523): confidence OR
+        saturation crossing its threshold stops the crawl (page/link
+        exhaustion is already handled by the main loop)."""
+        a = self.cfg.adaptive
+        return (
+            m["confidence"] >= a.get("confidence_threshold", 0.7)
+            or m["saturation"] >= a.get("saturation_threshold", 0.8)
+        )
 
     # ------------------------------------------------------------------
     def _run_round(self, rnd: int, frontier: DataFrame, crawled_before: int) -> int:
         cfg = self.cfg
         t0 = time.monotonic()
         frontier = frontier.select(*[f for f, _ in FRONTIER_FIELDS])
+        # Parallelism floor for the Python-heavy fetch+extract chain.
+        # Spark sizes scan partitions by BYTES, but a frontier row costs
+        # ~1 page of fetch+extract CPU: a compact frontier file (a few
+        # MB for 10^5 URLs) otherwise becomes ONE scan partition, and --
+        # because the politeness flag-join and the corpus fetch are
+        # broadcast joins that preserve the probe side's partitioning --
+        # the whole round pipelines into ONE task. Hash-repartitioning
+        # the (html-less, ~100 B/row) frontier here is a trivial shuffle
+        # that keeps every downstream stage at full width.
+        n_part = max(
+            self.spark.sparkContext.defaultParallelism,
+            int(self.spark.conf.get("spark.sql.shuffle.partitions", "200")),
+        )
+        frontier = frontier.repartition(n_part, F.col("url_hash"))
 
         # -- mark: politeness + fairness + retry-drop ----------------------
         live = frontier.where(F.col("retry_count") <= cfg.max_retries)

@@ -80,16 +80,33 @@ def select_fetch_batch(
     else:
         f = f.withColumn("budget", F.coalesce(F.col("budget"), F.lit(base_budget)))
 
-        # Two-stage top-k prune computes the (small) winner set without
-        # ever running a whole-host window over a hub host's 10^7 rows;
-        # the full frontier is then flagged by a join against the
-        # winners, so non-selected rows are RETAINED as deferred (they
-        # must survive into the next round, not be silently dropped).
+        # Budget-fit bypass: a host whose entire frontier presence fits
+        # its budget needs NO ordering at all — every row is selected.
+        # In a real crawl that is the long tail of small hosts (and the
+        # whole frontier early on), so the expensive part below only
+        # ever touches genuinely contended hosts. One tiny count
+        # aggregation (map-side combined) decides; AQE broadcasts the
+        # over-budget host list when it is small.
+        over = (
+            f.groupBy("host")
+            .agg(F.count(F.lit(1)).alias("__cnt"), F.first("budget").alias("__b"))
+            .where(F.col("__cnt") > F.col("__b"))
+            .select("host", F.lit(True).alias("__over"))
+        )
+        f = f.join(over, "host", "left")
+        big = f.where(F.col("__over"))
+
+        # Two-stage top-k prune computes the (small) winner set for the
+        # contended hosts without ever running a whole-host window over
+        # a hub host's 10^7 rows; the full frontier is then flagged by a
+        # join against the winners, so non-selected rows are RETAINED as
+        # deferred (they must survive into the next round, not be
+        # silently dropped).
 
         # stage 1 — salt-local top-k caps hub-host partitions: the global
         # per-host window then sees at most budget*n_salts rows per host
         w_salt = Window.partitionBy("host", "salt").orderBy(*order)
-        pruned = f.withColumn("__rs", F.row_number().over(w_salt)).where(
+        pruned = big.withColumn("__rs", F.row_number().over(w_salt)).where(
             F.col("__rs") <= F.col("budget")
         ).drop("__rs")
 
@@ -102,17 +119,29 @@ def select_fetch_batch(
         )
         if global_budget is not None:
             # best-first batch cap (bff_strategy.py:161-174): global
-            # top-N, tie-break (priority, depth, url) per SURVEY §2.2 —
-            # sort-limit (TakeOrdered), never a partition-less window
-            winners = (
-                pruned.join(winners, key, "left_semi")
-                .orderBy(*order).limit(global_budget).select(key)
+            # top-N over per-host selections (bypassed hosts' rows +
+            # contended hosts' winners), tie-break (priority, depth,
+            # url) per SURVEY §2.2 — sort-limit (TakeOrdered), never a
+            # partition-less window
+            pool_cols = list(dict.fromkeys([key, "eff_priority", "depth", "url_norm"]))
+            pool = f.where(F.col("__over").isNull()).select(*pool_cols).unionByName(
+                pruned.join(winners, key, "left_semi").select(*pool_cols)
             )
-        # winners is Σ per-host budgets at most — orders of magnitude
+            winners = pool.orderBy(*order).limit(global_budget).select(key)
+            f = f.join(
+                winners.withColumn("__sel", F.lit(True)), key, "left"
+            ).withColumn(
+                "selected", F.coalesce(F.col("__sel"), F.lit(False))
+            ).drop("__sel", "__over")
+            return f
+        # winners is Σ over-host budgets at most — orders of magnitude
         # smaller than the frontier; AQE broadcasts it when it fits
         f = f.join(
             winners.withColumn("__sel", F.lit(True)), key, "left"
-        ).withColumn("selected", F.coalesce(F.col("__sel"), F.lit(False))).drop("__sel")
+        ).withColumn(
+            "selected",
+            F.col("__over").isNull() | F.coalesce(F.col("__sel"), F.lit(False)),
+        ).drop("__sel", "__over")
         return f
 
     if global_budget is not None:

@@ -25,6 +25,47 @@ def filter_chain(*predicates: Column) -> Column:
     return reduce(lambda a, b: a & b, predicates, F.lit(True))
 
 
+def filter_chain_stats(df, named_predicates: dict[str, Column]):
+    """Per-filter decision counters (FilterStats, reference
+    deep_crawling/filters.py:25-66: total_urls / passed_urls /
+    rejected_urls per filter).
+
+    The reference counts inside each filter object during its
+    short-circuit chain: filter k only sees URLs that passed filters
+    0..k-1. Re-expressed as ONE aggregation: each row contributes to
+    filter k's counters iff all earlier predicates passed — conditional
+    sums, map-side combined, no shuffle of URL data.
+
+    Returns (stats_df, passed_predicate): stats rows
+    (filter, total_urls, passed_urls, rejected_urls) in chain order.
+    """
+    names = list(named_predicates)
+    passed_so_far = F.lit(True)
+    aggs = []
+    for name in names:
+        p = named_predicates[name]
+        aggs.append(F.sum(F.when(passed_so_far, 1).otherwise(0)).alias(f"__t_{name}"))
+        aggs.append(
+            F.sum(F.when(passed_so_far & p, 1).otherwise(0)).alias(f"__p_{name}")
+        )
+        passed_so_far = passed_so_far & p
+    row = df.agg(*aggs)
+    stats = row.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(name).alias("filter"),
+                    F.col(f"__t_{name}").alias("total_urls"),
+                    F.col(f"__p_{name}").alias("passed_urls"),
+                    (F.col(f"__t_{name}") - F.col(f"__p_{name}")).alias("rejected_urls"),
+                )
+                for name in names
+            ])
+        ).alias("s")
+    ).select("s.filter", "s.total_urls", "s.passed_urls", "s.rejected_urls")
+    return stats, passed_so_far
+
+
 # -- URLPatternFilter (filters.py:119-255) ----------------------------------
 
 def url_pattern_filter(url, patterns: list[str] | str, reverse: bool = False) -> Column:

@@ -64,6 +64,54 @@ def normalize_url_for_deep_crawl(href: str | None, base_url: str) -> str | None:
     )
 
 
+# normalize_url (utils.py:2142-2225) default tracking set — the extended
+# scraper variant's superset of TRACKING_PARAMS
+EXTENDED_TRACKING = frozenset({
+    "utm_source", "utm_medium", "utm_campaign", "utm_term",
+    "utm_content", "gclid", "fbclid", "ref", "ref_src",
+})
+
+
+def normalize_url_extended(
+    href: str | None,
+    base_url: str,
+    drop_query_tracking: bool = True,
+    sort_query: bool = True,
+    keep_fragment: bool = False,
+    extra_drop_params=None,
+) -> str | None:
+    """Reference-equal extended normalizer (utils.py:2142-2225): the
+    scraper-side variant — quote(unquote(path)) percent re-encode,
+    duplicate-preserving query handling via parse_qsl with blank values
+    kept, lowercase query KEYS, gclid/ref_src-class tracking drop,
+    optional fragment keep."""
+    from urllib.parse import parse_qsl, quote, unquote
+
+    if not href:
+        return None
+    full_url = urljoin(base_url, href.strip())
+    parsed = urlparse(full_url)
+    netloc = parsed.netloc.lower()
+    path = quote(unquote(parsed.path))
+    if path.endswith("/") and path != "/":
+        path = path.rstrip("/")
+    query = parsed.query
+    if query:
+        params = [(k.lower(), v) for k, v in parse_qsl(query, keep_blank_values=True)]
+        if drop_query_tracking:
+            drop = set(EXTENDED_TRACKING)
+            if extra_drop_params:
+                drop |= {p.lower() for p in extra_drop_params}
+            params = [(k, v) for k, v in params if k not in drop]
+        if sort_query:
+            params.sort(key=lambda kv: kv[0])
+        query = urlencode(params, doseq=True) if params else ""
+    fragment = parsed.fragment if keep_fragment else ""
+    return urlunparse(
+        (parsed.scheme, netloc, path, parsed.params, query, fragment)
+    )
+
+
 def get_base_domain(url: str) -> str:
     """Reference-equal base-domain extraction (utils.py:2340-2388)."""
     try:
@@ -135,6 +183,19 @@ def can_process_url_udf(url: pd.Series) -> pd.Series:
 def normalize_urls_udf(href_col, base_col):
     """Column API: canonicalize (href, base) pairs."""
     return _normalize_pair_udf(href_col, base_col)
+
+
+@pandas_udf(StringType())
+def _normalize_extended_udf(href: pd.Series, base: pd.Series) -> pd.Series:
+    return pd.Series(
+        [normalize_url_extended(h, b) for h, b in zip(href, base)],
+        dtype=object,
+    )
+
+
+def normalize_urls_extended_udf(href_col, base_col):
+    """Column API: the extended scraper-variant normalizer."""
+    return _normalize_extended_udf(href_col, base_col)
 
 
 def url_host(col):

@@ -76,6 +76,46 @@ def saturation_from_rounds(round_stats: DataFrame) -> DataFrame:
     )
 
 
+def confidence_metrics(docs: DataFrame, query_terms: list[str],
+                       text_col: str = "text", id_col: str = "doc_id",
+                       round_col: str = "round",
+                       consistency_sample: int = 40) -> dict:
+    """The adaptive-crawl stop metrics over an accumulated page table:
+
+        confidence = 0.4*coverage + 0.3*consistency + 0.3*saturation
+        (StatisticalStrategy.calculate_confidence,
+         adaptive_crawler.py:287-303)
+
+    saturation derives new-terms-per-round from each term's FIRST round
+    of appearance (one aggregation, no per-round state). consistency is
+    pairwise Jaccard over a bounded doc sample — the reference computes
+    it over the whole in-memory knowledge base, which is O(n^2) and
+    cannot scale; the deterministic min-id sample is the cluster-safe
+    form and is exact whenever the corpus fits the sample.
+    Returns {'coverage','consistency','saturation','confidence'}."""
+    docs = docs.persist()
+    try:
+        cov = coverage_score(docs, query_terms, text_col, id_col).first()[0] or 0.0
+
+        sample = docs.orderBy(id_col).limit(consistency_sample)
+        cons = consistency_score(sample, text_col, id_col).first()[0] or 0.0
+
+        first_seen = (
+            docs.select(F.col(round_col).alias("r"),
+                        F.explode(F.array_distinct(tokens(text_col))).alias("t"))
+            .groupBy("t").agg(F.min("r").alias("r0"))
+            .groupBy("r0").agg(F.count(F.lit(1)).alias("new_terms"))
+        )
+        hist = first_seen.select(F.col("r0").alias("round"), "new_terms")
+        sat_row = saturation_from_rounds(hist).first()
+        sat = float(sat_row[0]) if sat_row and sat_row[0] is not None else 0.0
+    finally:
+        docs.unpersist()
+    conf = 0.4 * float(cov) + 0.3 * float(cons) + 0.3 * sat
+    return {"coverage": float(cov), "consistency": float(cons),
+            "saturation": sat, "confidence": conf}
+
+
 def rank_links(cands: DataFrame, relevance_col: str = "relevance",
                novelty_col: str = "novelty", authority_col: str = "authority",
                top_k: int = 10) -> DataFrame:

@@ -98,6 +98,79 @@ def sign_lsh_bucket(vec_col, n_bits: int = 4, dim: int = 64):
     return bucket
 
 
+def cosine_clusters(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sim_threshold: float = 0.95,
+    use_lsh: bool = False,
+    n_bits: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """CosineStrategy clustering re-expressed for a cluster
+    (extraction_strategy.py:121-478): the reference runs scipy
+    agglomerative clustering over in-memory chunk embeddings; the
+    distributed-expressible linkage is SINGLE linkage, where cutting the
+    dendrogram at distance d equals connected components of the
+    cos >= 1-d similarity graph — so clustering becomes edge finding +
+    min-label propagation, both relational.
+
+    use_lsh=True restricts candidate pairs to same sign-LSH bucket (the
+    100 TB path: no all-pairs); False is the exact verification path.
+    Output: (id, cluster) for EVERY input vector — singletons form their
+    own cluster (cluster == own id).
+    """
+    from crawl4ai_spark.ops.dedup import connected_components_min
+
+    v = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if use_lsh:
+        b = v.withColumn("bucket", sign_lsh_bucket(F.col("v"), n_bits, dim))
+        a2, b2 = b.alias("a"), b.alias("b")
+        joined = a2.join(
+            b2, (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id"))
+        )
+    else:
+        a2, b2 = v.alias("a"), v.alias("b")
+        joined = a2.join(b2, F.col("a.id") < F.col("b.id"))
+    pairs = joined.select(
+        F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+        F.round(
+            _dot("a.v", "b.v") / (_norm("a.v") * _norm("b.v")), 6
+        ).alias("cos"),
+    ).where(F.col("cos") >= sim_threshold).select("id_a", "id_b")
+
+    comps = connected_components_min(pairs)
+    return (
+        v.select("id")
+        .join(comps, "id", "left")
+        .select("id", F.coalesce(F.col("component"), F.col("id")).alias("cluster"))
+    )
+
+
+def cluster_word_count_filter(
+    clustered: DataFrame, texts: DataFrame,
+    id_col: str = "id", cluster_col: str = "cluster",
+    text_col: str = "text", word_count_threshold: int = 10,
+) -> DataFrame:
+    """filter_clusters_by_word_count (extraction_strategy.py:364-390):
+    keep clusters whose concatenated text reaches the word threshold.
+    Output: (cluster, n_members, word_count) for surviving clusters."""
+    from crawl4ai_spark.ops.text import token_count
+
+    joined = clustered.join(
+        texts.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")), "id"
+    )
+    return (
+        joined.groupBy(cluster_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(token_count(F.col("__t"))).alias("word_count"),
+        )
+        .where(F.col("word_count") >= word_count_threshold)
+    )
+
+
 def signlsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1551,6 +1551,194 @@ def jsoncss_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FILTER_STATS_ORACLE = f"""
+WITH docs AS ({_DOCS_I}),
+u AS (SELECT i, (i % {N_HOSTS}) AS h, ('/page/' || CAST(i AS VARCHAR)) AS p FROM docs),
+c AS (
+  SELECT COUNT(*) AS t1,
+         SUM(CASE WHEN h <> 3 THEN 1 ELSE 0 END) AS p1,
+         SUM(CASE WHEN h <> 3 AND p NOT LIKE '/page/1%' THEN 1 ELSE 0 END) AS p2
+  FROM u
+)
+SELECT 'domain' AS filter, t1 AS total_urls, p1 AS passed_urls,
+       t1 - p1 AS rejected_urls FROM c
+UNION ALL
+SELECT 'pattern', p1, p2, p1 - p2 FROM c
+"""
+
+
+@register("filter_stats", _FILTER_STATS_ORACLE)
+def filter_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-filter pass/reject counters with short-circuit semantics
+    (FilterStats, deep_crawling/filters.py:25-66): filter k only counts
+    URLs that passed filters 0..k-1 — one conditional-sum aggregation."""
+    from crawl4ai_spark.functions.filters import filter_chain_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    urls = docs.select(
+        url_expr(i).alias("url_norm"),
+        F.pmod(i, F.lit(N_HOSTS)).alias("h"),
+        F.format_string("/page/%d", i).alias("p"),
+    )
+    stats, _passed = filter_chain_stats(urls, {
+        "domain": F.col("h") != 3,
+        "pattern": ~F.col("p").startswith("/page/1"),
+    })
+    return stats
+
+
+_COS_CLUSTER_T = 0.98
+
+_COS_CLUSTER_ORACLE = f"""
+WITH RECURSIVE
+all_e AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id % 50 = 0
+),
+e AS (SELECT vec_id AS id, embedding AS v FROM all_e),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM e a JOIN e b ON a.id < b.id
+  WHERE CAST(ROUND({_emb_cos_sql('a.v', 'b.v')}, 6) AS DOUBLE) >= {_COS_CLUSTER_T}
+),
+sym AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+conn AS (
+  SELECT s, d FROM sym
+  UNION
+  SELECT c.s, x.d FROM conn c JOIN sym x ON x.s = c.d
+),
+lab AS (SELECT s, LEAST(s, MIN(d)) AS comp FROM conn GROUP BY s)
+SELECT e.id, COALESCE(l.comp, e.id) AS cluster
+FROM e LEFT JOIN lab l ON l.s = e.id
+"""
+
+
+@register("cosine_clusters", _COS_CLUSTER_ORACLE)
+def cosine_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CosineStrategy clustering (extraction_strategy.py:121-478) as
+    single-linkage over the cos>=t similarity graph (= connected
+    components — the distributed-expressible dendrogram cut); duplicated
+    vectors guarantee non-trivial clusters at t=0.98."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dups = emb.where(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    all_e = emb.select("vec_id", "embedding").unionByName(dups)
+    return similarity.cosine_clusters(
+        all_e, sim_threshold=_COS_CLUSTER_T
+    )
+
+
+# preprocess_html_for_schema in closed form for the synthetic DOM:
+# head dropped, img stripped to a bare void tag (src/alt/width are not
+# selector attributes), <a href> loses href, long body text truncates at
+# 100 chars of its stripped form + '...'
+_FIT_HTML_ORACLE = f"""
+WITH docs AS ({_DOCS_I}),
+cnt AS ({_CNT}),
+k AS (SELECT i, text, {_KIDS_SQL} AS ks FROM docs, cnt)
+SELECT {_url_sql('i')} AS url,
+  ('<html><body><h1>Doc ' || CAST(i AS VARCHAR) || '</h1><p>'
+   || CASE WHEN len(trim(text)) > 100
+           THEN substr(trim(text), 1, 100) || '...' ELSE text END
+   || '</p><img/><p>tail ' || CAST(i AS VARCHAR) || '</p><ul>'
+   || COALESCE(array_to_string(list_transform(ks,
+        c -> ('<li><a>go ' || CAST(c AS VARCHAR) || '</a></li>')), ''), '')
+   || '</ul></body></html>') AS fit_html
+FROM k
+"""
+
+
+@register("fit_html", _FIT_HTML_ORACLE)
+def fit_html_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """preprocess_html_for_schema (utils.py:2883-3026): page shrunk to
+    its selector skeleton — full-string exact check against the
+    closed-form outcome for the synthetic DOM."""
+    from crawl4ai_spark.extraction.preprocess import fit_html_pages
+
+    corpus = build_corpus(_t(spark, sf_dir, "documents"))
+    return fit_html_pages(corpus.withColumnRenamed("url_norm", "url"))
+
+
+_CANON_EXT_ORACLE = f"""
+WITH docs AS ({_DOCS_I})
+SELECT i AS doc_id,
+  ('https://site' || CAST(i % {N_HOSTS} AS VARCHAR)
+   || '.example.com/x%20y/p' || CAST(i AS VARCHAR)
+   || '?a=1&a=2&b=b' || CAST(i AS VARCHAR)) AS url_ext
+FROM docs
+"""
+
+
+@register("url_canonicalize_ext", _CANON_EXT_ORACLE)
+def url_canonicalize_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended scraper-variant normalizer (utils.py:2142-2225):
+    percent re-encode of the path, duplicate-preserving query rebuild
+    with lowercased sorted keys, gclid/ref_src tracking drop, fragment
+    drop — all exercised in one constructed URL."""
+    from crawl4ai_spark.functions.urlnorm import normalize_urls_extended_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    href = F.format_string(
+        "/x y/p%d?gclid=9&B=b%d&ref_src=z&A=1&A=2#frag", i, i
+    )
+    base = F.format_string(
+        "https://Site%d.example.com/base/", F.pmod(i, F.lit(N_HOSTS))
+    )
+    df = docs.select(i.alias("doc_id"), href.alias("href"), base.alias("base"))
+    return df.select(
+        "doc_id",
+        normalize_urls_extended_udf(F.col("href"), F.col("base")).alias("url_ext"),
+    )
+
+
+_HEAD_ORACLE = f"""
+WITH docs AS ({_DOCS_I})
+SELECT {_url_sql('i')} AS url,
+       ('Doc ' || CAST(i AS VARCHAR)) AS title,
+       'utf-8' AS charset,
+       'en-US' AS lang,
+       ('d' || CAST(i AS VARCHAR)) AS "desc",
+       {_url_sql('i')} AS canonical,
+       ('{{"@type":"Article","id":' || CAST(i AS VARCHAR) || '}}') AS jsonld0
+FROM docs
+"""
+
+
+@register("head_parse", _HEAD_ORACLE)
+def head_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-<head> fetch + parse (async_url_seeder.py:89-159,
+    1032-1141): title/charset/meta/link/jsonld/lang parsed from the
+    head slice only — a second <title> after </head> must NOT leak in
+    (the slice boundary is part of the check)."""
+    from crawl4ai_spark.extraction.headparse import parse_heads
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    html = F.format_string(
+        '<html lang="en-US"><head><meta charset="utf-8"/><title>Doc %d</title>'
+        '<meta name="description" content="d%d"/>'
+        '<link rel="canonical" href="%s"/>'
+        '<script type="application/ld+json">{"@type":"Article","id":%d}</script>'
+        '</head><body><title>LEAKED</title><p>body</p></body></html>',
+        i, i, url_expr(i), i,
+    )
+    df = docs.select(url_expr(i).alias("url"), html.alias("html"))
+    out = parse_heads(df)
+    return out.select(
+        "url", "title", "charset", "lang",
+        F.element_at("meta", "description").alias("desc"),
+        F.element_at(F.element_at("link_rel", "canonical"), 1).alias("canonical"),
+        F.element_at("jsonld", 1).alias("jsonld0"),
+    )
+
+
 _ROUTING_ORACLE = f"""
 WITH docs AS ({_DOCS_I}),
 u AS (SELECT i, {_url_sql('i')} AS url FROM docs)
