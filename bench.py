@@ -43,7 +43,9 @@ def bench_crawl(spark, sf_dir: str, max_depth: int = 6) -> tuple[float, int]:
     )
     t0 = time.monotonic()
     stats = eng.run([seed_url()])
-    return time.monotonic() - t0, stats["pages_crawled"]
+    wall = time.monotonic() - t0
+    corpus.unpersist()
+    return wall, stats["pages_crawled"]
 
 
 def bench_crawl_mass(spark, sf_dir: str, replicas: int = 4) -> tuple[float, int]:
@@ -77,7 +79,10 @@ def bench_crawl_mass(spark, sf_dir: str, replicas: int = 4) -> tuple[float, int]
     )
     t0 = time.monotonic()
     eng.run(seed_df=seed_df)
-    return time.monotonic() - t0, n
+    wall = time.monotonic() - t0
+    corpus.unpersist()
+    seed_df.unpersist()
+    return wall, n
 
 
 def main() -> None:
@@ -117,6 +122,9 @@ def main() -> None:
     timings["crawl_mass_round"] = round(mass_s, 3)
     crawl_s, crawl_pages = bench_crawl(spark, sf_dir)
     timings["crawl_bfs_d6"] = round(crawl_s, 3)
+    # the crawl benches cache corpora and leave shuffle/GC residue; a
+    # clean cache keeps the per-query timings below independent of them
+    spark.catalog.clearCache()
 
     for name in headline:
         fn = Q.QUERIES[name]

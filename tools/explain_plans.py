@@ -67,11 +67,15 @@ def main():
     )
     marked = select_fetch_batch(frontier, None, base_budget=3)
     sections.append((
-        "Politeness window: salted two-stage top-k + winners join",
-        "Two Window nodes — the first partitioned by (host, salt) so a hub "
-        "host never lands in one task, the second by host over at most "
-        "budget*n_salts survivors; the winners set joins back so deferred "
-        "rows are retained (no data loss). AQE may broadcast the winners.",
+        "Politeness window: budget-fit bypass + salted two-stage top-k + winners join",
+        "A count aggregation first finds hosts whose frontier presence "
+        "exceeds their budget; rows of all other hosts (the long tail at "
+        "scale) are selected WITHOUT any sort. Only the contended hosts "
+        "reach the two Window nodes — the first partitioned by (host, "
+        "salt) so a hub host never lands in one task, the second by host "
+        "over at most budget*n_salts survivors; the winners set joins "
+        "back so deferred rows are retained (no data loss). AQE may "
+        "broadcast the winners and the over-budget host list.",
         fmt(marked),
     ))
 
