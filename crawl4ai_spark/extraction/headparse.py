@@ -123,6 +123,59 @@ def parse_heads(df: DataFrame, url_col: str = "url",
     return sliced.mapInPandas(run, HEAD_SCHEMA)
 
 
+# _extract_text_context's field order (async_url_seeder.py:1143-1194)
+_CONTEXT_META_KEYS = [
+    "description", "keywords", "author", "subject", "summary", "abstract",
+    "og:title", "og:description", "og:site_name", "article:tag",
+    "twitter:title", "twitter:description", "twitter:image:alt",
+    "dc.title", "dc.description", "dc.subject", "dc.creator",
+]
+_CONTEXT_JSONLD_FIELDS = ["name", "headline", "description", "abstract", "keywords"]
+
+
+def head_text_context(parsed: DataFrame, out_col: str = "text_context") -> DataFrame:
+    """_extract_text_context (async_url_seeder.py:1143-1194) as pure
+    column algebra over parse_heads output: title + the priority meta
+    keys + common JSON-LD fields, space-joined with nulls skipped
+    (@graph traversal omitted — a nested-JSON rarity the reference
+    itself only partially walks). This is the text BM25 scores to
+    produce each link's contextual relevance_score."""
+    parts = [F.col("title")]
+    parts += [F.element_at(F.col("meta"), k) for k in _CONTEXT_META_KEYS]
+    jl = F.array_join(
+        F.flatten(F.transform(
+            F.col("jsonld"),
+            lambda s: F.filter(
+                F.array(*[F.get_json_object(s, f"$.{f}")
+                          for f in _CONTEXT_JSONLD_FIELDS]),
+                lambda x: x.isNotNull(),
+            ),
+        )),
+        " ",
+    )
+    ctx = F.concat_ws(" ", *parts, F.when(jl != "", jl))
+    return parsed.withColumn(out_col, ctx)
+
+
+def head_relevance_scores(corpus: DataFrame, query_terms: list[str],
+                          url_col: str = "url_norm") -> DataFrame:
+    """The contextual relevance pipeline (link_preview.py:310-365 +
+    seeder _apply_bm25_scoring): head slice -> parse -> text context ->
+    corpus BM25 against the query. Output: (url, relevance) — the
+    per-link `contextual_score` joined onto discovered links by target
+    URL and combined 0.7/0.3 with the intrinsic score downstream."""
+    from crawl4ai_spark.ops.bm25 import bm25_scores
+
+    heads = parse_heads(corpus.select(F.col(url_col).alias("url"), "html"))
+    ctx = head_text_context(heads).select(
+        F.col("url").alias("doc_id"),
+        F.coalesce(F.col("text_context"), F.lit("")).alias("text"),
+    )
+    return bm25_scores(ctx, query_terms).select(
+        F.col("doc_id").alias("url"), F.col("bm25").alias("relevance")
+    )
+
+
 def enrich_seeds_with_heads(seeds: DataFrame, corpus: DataFrame,
                             url_col: str = "url_norm") -> DataFrame:
     """Seed enrichment (async_url_seeder extract_head=True): left-join

@@ -411,6 +411,45 @@ def _clean_block(s: str) -> str:
     return out
 
 
+def _closest_ancestor_descs(html: str, min_words: int = 1) -> list[str | None]:
+    """find_closest_parent_with_useful_text
+    (content_scraping_strategy.py:376-392): for each kept <img>, in
+    document order, the nearest ancestor that has direct text AND whose
+    subtree text reaches min_words yields its subtree text. Needs a
+    tree, so it runs as a second stdlib parse — only invoked for pages
+    whose streaming pass produced images without a desc."""
+    from crawl4ai_spark.extraction.jsoncss import parse_dom
+
+    root = parse_dom(html)
+    out: list[str | None] = []
+
+    def walk(node, ancestors):
+        for c in node.children:
+            if c.tag in ("script", "style", "noscript", "template"):
+                continue
+            if c.tag == "img":
+                a = c.attrs
+                style = (a.get("style") or "").replace(" ", "").lower()
+                if "display:none" in style:
+                    continue
+                src = a.get("src") or a.get("data-src") or a.get("srcset")
+                if not src:
+                    continue
+                desc = None
+                for anc in reversed(ancestors + [node]):
+                    if any(t.strip() for t in anc.texts):
+                        txt = anc.text()
+                        if len(txt.split()) >= min_words:
+                            desc = txt
+                            break
+                out.append(desc)
+            else:
+                walk(c, ancestors + [node])
+
+    walk(root, [])
+    return out
+
+
 def extract_page(url: str, html: str) -> dict:
     """Pure extraction: one page -> spans/links/media/tables/metadata.
 
@@ -427,6 +466,19 @@ def extract_page(url: str, html: str) -> dict:
     except Exception:
         pass  # stdlib parser is tolerant; never fail a page on parse
     w._flush_text_segment()
+
+    # ancestor-walk description fallback for images lacking title/aria
+    # (content_scraping_strategy.py:376-392) — second parse, lazy
+    imgs = [m for m in w.media if m["type"] == "image"]
+    if any(not m["desc"] for m in imgs):
+        try:
+            descs = _closest_ancestor_descs(html)
+            if len(descs) == len(imgs):
+                for m, d in zip(imgs, descs):
+                    if not m["desc"] and d:
+                        m["desc"] = d
+        except Exception:
+            pass
 
     spans: list[dict] = []
     md_parts: list[str] = []

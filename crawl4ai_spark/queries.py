@@ -1739,6 +1739,58 @@ def head_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HEADREL_TERMS = ["Doc", "nm3", "d7"]
+
+
+def _head_relevance_oracle() -> str:
+    # context tokens per doc i: [Doc, i, d{i}, og{i}, nm{i%7}] -> dl = 5
+    per_term = []
+    for t in sorted(set(_HEADREL_TERMS)):
+        tf = f"CAST(len(list_filter(toks, x -> x = '{t}')) AS DOUBLE)"
+        dfq = f"(SELECT COUNT(*) FROM base b2 WHERE list_contains(b2.toks, '{t}'))"
+        idf = f"ln((n.n - {dfq} + 0.5) / ({dfq} + 0.5) + 1.0)"
+        per_term.append(
+            f"{idf} * {tf} * 2.2 / ({tf} + 1.2 * (1.0 - 0.75 + 0.75 * dl / n.avgdl))"
+        )
+    return f"""
+WITH docs AS ({_DOCS_I}),
+ctx AS (
+  SELECT {_url_sql('i')} AS url,
+         ('Doc ' || CAST(i AS VARCHAR) || ' d' || CAST(i AS VARCHAR)
+          || ' og' || CAST(i AS VARCHAR) || ' nm' || CAST(i % 7 AS VARCHAR)) AS t
+  FROM docs
+),
+base AS (SELECT url, string_split(t, ' ') AS toks,
+                CAST(len(string_split(t, ' ')) AS DOUBLE) AS dl FROM ctx),
+n AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM base)
+SELECT url, CAST(ROUND(0.0 + {' + '.join(per_term)}, 6) AS DOUBLE) AS relevance
+FROM base, n
+"""
+
+
+@register("head_relevance", _head_relevance_oracle())
+def head_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link contextual relevance end to end (link_preview.py:310-365 +
+    async_url_seeder.py:645-677,1143-1194): head slice -> parse ->
+    text-context assembly (title + priority meta + JSON-LD fields) ->
+    corpus BM25 vs the query. The resulting per-URL relevance is the
+    reference's `contextual_score`."""
+    from crawl4ai_spark.extraction.headparse import head_relevance_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    html = F.format_string(
+        '<html><head><title>Doc %d</title>'
+        '<meta name="description" content="d%d"/>'
+        '<meta property="og:title" content="og%d"/>'
+        '<script type="application/ld+json">{"@type":"Thing","name":"nm%d"}</script>'
+        '</head><body><p>ignored body</p></body></html>',
+        i, i, i, F.pmod(i, F.lit(7)),
+    )
+    corpus = docs.select(url_expr(i).alias("url_norm"), html.alias("html"))
+    return head_relevance_scores(corpus, _HEADREL_TERMS)
+
+
 _ROUTING_ORACLE = f"""
 WITH docs AS ({_DOCS_I}),
 u AS (SELECT i, {_url_sql('i')} AS url FROM docs)
