@@ -148,6 +148,38 @@ def cosine_clusters(
     )
 
 
+def signlsh_neardup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_bits: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """The PRODUCTION near-dup pairs path: only same-sign-LSH-bucket
+    pairs ever reach the dot product (the bucket equijoin replaces the
+    O(n^2) cross join of embedding_neardup_pairs, which stays as the
+    exact verification path). Recall tunes via n_bits; near-identical
+    vectors land in the same bucket with high probability.
+    Output: (id_a < id_b, cos >= threshold)."""
+    v = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        sign_lsh_bucket(F.col(vec_col), n_bits, dim).alias("bucket"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.round(
+                _dot("a.v", "b.v") / (_norm("a.v") * _norm("b.v")), 6
+            ).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )
+
+
 def cluster_word_count_filter(
     clustered: DataFrame, texts: DataFrame,
     id_col: str = "id", cluster_col: str = "cluster",

@@ -1588,6 +1588,44 @@ def filter_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats
 
 
+def _neardup_lsh_oracle(n_bits: int = 4, dim: int = 64) -> str:
+    def bucket_sql(v: str) -> str:
+        terms = []
+        for j in range(n_bits):
+            comp = (f"((CAST(('0x' || substr(md5('hp{j}:' || CAST(j2 AS VARCHAR)),1,15)) AS BIGINT) % 2001) - 1000) / 1000.0")
+            proj = (f"list_sum(list_transform(range(0, {dim}), "
+                    f"j2 -> CAST({v}[j2 + 1] AS DOUBLE) * {comp}))")
+            terms.append(f"(CASE WHEN {proj} > 0 THEN {2 ** j} ELSE 0 END)")
+        return "(" + " + ".join(terms) + ")"
+
+    return f"""
+WITH all_e AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id % 50 = 0
+),
+e AS (SELECT vec_id AS id, embedding AS v, {bucket_sql('embedding')} AS bucket FROM all_e)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(ROUND({_emb_cos_sql('a.v', 'b.v')}, 6) AS DOUBLE) AS cos
+FROM e a JOIN e b ON a.bucket = b.bucket AND a.id < b.id
+WHERE CAST(ROUND({_emb_cos_sql('a.v', 'b.v')}, 6) AS DOUBLE) >= 0.95
+"""
+
+
+@register("embedding_neardup_lsh", _neardup_lsh_oracle())
+def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed near-dup pairs — the production path the round-1 review
+    flagged as missing: same-sign-LSH-bucket candidates only, never the
+    all-pairs cross join (exact oracle via deterministic hash-derived
+    hyperplanes)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dups = emb.where(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    all_e = emb.select("vec_id", "embedding").unionByName(dups)
+    return similarity.signlsh_neardup_pairs(all_e, threshold=0.95)
+
+
 _COS_CLUSTER_T = 0.98
 
 _COS_CLUSTER_ORACLE = f"""
@@ -1736,6 +1774,72 @@ def head_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("meta", "description").alias("desc"),
         F.element_at(F.element_at("link_rel", "canonical"), 1).alias("canonical"),
         F.element_at("jsonld", 1).alias("jsonld0"),
+    )
+
+
+# RateLimiter fold (async_dispatcher.py:65-85, deterministic variant):
+# the order-dependent recurrence is SQL via a recursive CTE stepping
+# event rank per host — delay math is exact IEEE (2x / 0.75x / clamps).
+_RATELIM_ORACLE = f"""
+WITH RECURSIVE
+docs AS ({_DOCS_I}),
+ev AS (
+  SELECT ('site' || CAST(i % {N_HOSTS} AS VARCHAR) || '.example.com') AS host,
+         i AS ts,
+         CASE WHEN i % {N_HOSTS} = 2 THEN 429
+              WHEN i % 5 = 0 THEN 503 ELSE 200 END AS status,
+         ROW_NUMBER() OVER (PARTITION BY i % {N_HOSTS} ORDER BY i) AS rn
+  FROM docs
+),
+st AS (
+  SELECT host, 0 AS rn, CAST(0.0 AS DOUBLE) AS delay, 0 AS fail, FALSE AS gu
+  FROM (SELECT DISTINCT host FROM ev)
+  UNION ALL
+  SELECT e.host, e.rn,
+    CASE WHEN s.gu THEN s.delay
+         WHEN e.status IN (429, 503) THEN
+           CASE WHEN s.fail + 1 > 3
+                THEN CASE WHEN s.delay = 0 THEN 1.0 ELSE s.delay END
+                ELSE LEAST(CASE WHEN s.delay = 0 THEN 1.0 ELSE s.delay END * 2.0, 60.0)
+           END
+         ELSE GREATEST(1.0, CASE WHEN s.delay = 0 THEN 1.0 ELSE s.delay END * 0.75)
+    END AS delay,
+    CASE WHEN s.gu THEN s.fail
+         WHEN e.status IN (429, 503) THEN s.fail + 1
+         ELSE 0 END AS fail,
+    CASE WHEN s.gu THEN TRUE
+         WHEN e.status IN (429, 503) AND s.fail + 1 > 3 THEN TRUE
+         ELSE FALSE END AS gu
+  FROM st s JOIN ev e ON e.host = s.host AND e.rn = s.rn + 1
+),
+last AS (SELECT host, MAX(rn) AS rn FROM st GROUP BY host)
+SELECT s.host, CAST(ROUND(s.delay, 6) AS DOUBLE) AS delay,
+       s.fail AS fail_count, s.gu AS gave_up,
+       CAST(l.rn AS BIGINT) AS n_events
+FROM st s JOIN last l ON l.host = s.host AND l.rn = s.rn
+"""
+
+
+@register("rate_limiter_fold", _RATELIM_ORACLE)
+def rate_limiter_fold_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference RateLimiter delay recurrence (deterministic
+    variant) folded per host over an event log — site2's all-429 stream
+    exercises the give-up path; the oracle steps the same recurrence
+    with a recursive CTE."""
+    from crawl4ai_spark.streaming.ratelimit import rate_limiter_fold
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    events = docs.select(
+        F.format_string("site%d.example.com", F.pmod(i, F.lit(N_HOSTS))).alias("host"),
+        i.alias("ts"),
+        F.when(F.pmod(i, F.lit(N_HOSTS)) == 2, 429)
+        .when(i % 5 == 0, 503).otherwise(200).alias("status_code"),
+    )
+    out = rate_limiter_fold(events)
+    return out.select(
+        "host", F.round("delay", 6).alias("delay"), "fail_count",
+        "gave_up", "n_events",
     )
 
 
