@@ -149,3 +149,20 @@ def test_resume_equals_uninterrupted(spark, tmp_path, corpus_pages):
     assert crawl_multiset(eng_r, spark) == full_pages
     seen_r = {r.url_norm for r in eng_r.t_seen.read(spark).select("url_norm").collect()}
     assert seen_r == full_seen
+
+
+def test_capacity_cap_quantile_path(spark, tmp_path, corpus_pages):
+    """The scale-path capacity cap (approx-quantile score cut, engaged
+    when remaining > cap_exact_limit; forced here with limit 0) is a
+    documented conservative approximation: it must admit AT LEAST the
+    exact path's top candidates (score >= threshold keeps ties), never
+    fewer, and the crawl must still terminate at/over max_pages."""
+    cfg_exact = CrawlConfig(max_depth=3, max_pages=8, use_bloom=False)
+    eng_a, sa = run_engine(spark, tmp_path / "a", corpus_pages, cfg_exact)
+    cfg_quant = CrawlConfig(max_depth=3, max_pages=8, use_bloom=False,
+                            cap_exact_limit=0)
+    eng_b, sb = run_engine(spark, tmp_path / "b", corpus_pages, cfg_quant)
+    a, b = crawl_multiset(eng_a, spark), crawl_multiset(eng_b, spark)
+    assert sb["pages_crawled"] >= sa["pages_crawled"] >= 8
+    assert set(a) <= set(b)          # over-admits ties, never drops top
+    assert len(b) <= len(a) + 12     # bounded by one round of tie spill
