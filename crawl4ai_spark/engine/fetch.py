@@ -104,6 +104,64 @@ class HttpFetcher:
         return fetched.withColumn("success", F.col("status_code") == 200)
 
 
+class SchemeFetcher:
+    """file:// and raw:/raw:// scheme dispatch
+    (async_crawler_strategy.py:438-492 _handle_file/_handle_raw):
+
+      raw://X or raw:X -> X IS the html (status 200) — raw:// tested
+                          first so its slashes aren't kept (the
+                          reference documents exactly this pitfall)
+      file:///p        -> read the local file (status 200; missing ->
+                          status 404, empty html — row-level error, a
+                          cluster job must not die on one bad path)
+      anything else    -> delegated to the inner fetcher
+
+    file/raw rows are handled in one Arrow-batched pass; at scale
+    file:// is the archive-replay path where paths point at a shared
+    filesystem mounted on every executor.
+    """
+
+    def __init__(self, inner):
+        self.inner = inner
+
+    def fetch(self, frontier: DataFrame) -> DataFrame:
+        is_scheme = F.col("url_norm").startswith("raw:") | \
+            F.col("url_norm").startswith("file://")
+        other = frontier.where(~is_scheme)
+        local = frontier.where(is_scheme)
+
+        schema = T.StructType(list(frontier.schema.fields) + _HTTP_SCHEMA_EXTRA)
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                htmls, statuses = [], []
+                for u in pdf["url_norm"]:
+                    if u.startswith("raw://"):
+                        htmls.append(u[6:]); statuses.append(200)
+                    elif u.startswith("raw:"):
+                        htmls.append(u[4:]); statuses.append(200)
+                    else:
+                        path = u[7:]
+                        try:
+                            with open(path, encoding="utf-8", errors="replace") as f:
+                                htmls.append(f.read())
+                            statuses.append(200)
+                        except OSError:
+                            htmls.append(""); statuses.append(404)
+                out = pdf.copy()
+                out["html"], out["status_code"] = htmls, statuses
+                out["fetch_ms"] = 0
+                yield out
+
+        fetched_local = local.mapInPandas(run, schema).withColumn(
+            "success", F.col("status_code") == 200
+        )
+        fetched_other = self.inner.fetch(other)
+        return fetched_other.unionByName(
+            fetched_local.select(*fetched_other.columns)
+        )
+
+
 class CachedFetcher:
     """Result-cache read gate around any fetcher (CacheMode semantics,
     /root/reference/crawl4ai/cache_context.py:59-87 + result cache read

@@ -84,3 +84,36 @@ def test_no_driver_blob_hops():
     src = inspect.getsource(bloom_mod)
     for banned in ("toPandas", ".collect(", "broadcast("):
         assert banned not in src, banned
+
+
+def test_bloom_engages_mid_crawl(spark, tmp_path):
+    """Crossing bloom_min_seen DURING a crawl bulk-builds the shards and
+    flips discovery to the probe+delta path; the crawled set must equal
+    a bloom-free run exactly (dedup is exact in every configuration)."""
+    from crawl4ai_spark.corpus.fakeshop import fakeshop_spark_df
+    from crawl4ai_spark.engine.fetch import CorpusFetcher
+    from crawl4ai_spark.engine.frontier import CrawlConfig, CrawlEngine
+    from crawl4ai_spark.engine.tables import Warehouse
+
+    corpus = fakeshop_spark_df(spark, n_sites=1, n_categories=3,
+                               n_subcats=2, n_products=2)
+    seed = ["http://shop0.fakeshop.test/index.html"]
+
+    def crawl(subdir, **kw):
+        eng = CrawlEngine(
+            spark, Warehouse(str(tmp_path / subdir)), CorpusFetcher(corpus),
+            CrawlConfig(max_depth=3, n_shards=4, bloom_sync_rounds=1, **kw),
+        )
+        eng.run(seed)
+        return eng, sorted(
+            (r.url_norm, r.depth)
+            for r in eng.t_pages.read(spark).select("url_norm", "depth").collect()
+        )
+
+    # threshold 5: round 0 discovers >5 URLs -> bloom builds at round 0's
+    # close and later rounds run probe + delta anti-join
+    eng_mid, got_mid = crawl("mid", use_bloom=True, bloom_min_seen=5)
+    assert eng_mid._bloom_built
+    assert eng_mid.t_bloom.read(spark).count() > 0
+    _, got_off = crawl("off", use_bloom=False)
+    assert got_mid == got_off

@@ -109,3 +109,33 @@ def test_streaming_windowed_counts(spark, tmp_path):
             for r in table.read(spark).collect()}
     assert rows[("click", "2024-01-01 00:00:00")] == (2, 3.0)
     assert rows[("view", "2024-01-01 00:05:00")] == (1, 3.0)
+
+
+def test_scheme_fetcher_raw_and_file(spark, tmp_path):
+    """file:// + raw:/raw:// dispatch (async_crawler_strategy.py:438-492):
+    raw:// sliced before raw: (the reference's documented pitfall),
+    missing files become row-level 404s, other schemes delegate."""
+    from crawl4ai_spark.engine.fetch import CorpusFetcher, SchemeFetcher
+    from pyspark.sql import functions as F
+
+    p = tmp_path / "page.html"
+    p.write_text("<html><body><p>from disk</p></body></html>")
+    corpus = spark.createDataFrame(
+        [("http://x.test/a", "<p>net</p>", 200, 1)],
+        "url_norm string, html string, status_code int, fetch_ms int",
+    )
+    frontier = spark.createDataFrame(
+        [("raw://<p>slashes kept out</p>",),
+         ("raw:<p>short form</p>",),
+         (f"file://{p}",),
+         ("file:///nonexistent/nope.html",),
+         ("http://x.test/a",)],
+        "url_norm string",
+    )
+    out = {r.url_norm: (r.html, r.status_code, r.success)
+           for r in SchemeFetcher(CorpusFetcher(corpus)).fetch(frontier).collect()}
+    assert out["raw://<p>slashes kept out</p>"] == ("<p>slashes kept out</p>", 200, True)
+    assert out["raw:<p>short form</p>"] == ("<p>short form</p>", 200, True)
+    assert out[f"file://{p}"][0].startswith("<html>") and out[f"file://{p}"][1] == 200
+    assert out["file:///nonexistent/nope.html"][1:] == (404, False)
+    assert out["http://x.test/a"] == ("<p>net</p>", 200, True)
