@@ -112,6 +112,23 @@ def normalize_url_extended(
     )
 
 
+def efficient_normalize_url_for_deep_crawl(href: str | None,
+                                           base_url: str) -> str | None:
+    """Reference-equal fast variant (utils.py:2276-2302): only the
+    critical normalizations — resolve, lowercase netloc, strip trailing
+    slash, drop fragment; query left untouched (no tracking-param work).
+    Expressible as pure Catalyst SQL too — see
+    efficient_normalize_expr."""
+    if not href:
+        return None
+    full_url = urljoin(base_url, href.strip())
+    parsed = urlparse(full_url)
+    return urlunparse((
+        parsed.scheme, parsed.netloc.lower(), parsed.path.rstrip("/"),
+        parsed.params, parsed.query, "",
+    ))
+
+
 def get_base_domain(url: str) -> str:
     """Reference-equal base-domain extraction (utils.py:2340-2388)."""
     try:

@@ -93,3 +93,15 @@ def test_can_process_url():
     assert not can_process_url("ftp://example.com/x")
     assert not can_process_url("http://localhost/x")  # no dot in netloc
     assert not can_process_url("nonsense")
+
+
+def test_efficient_normalize_variant():
+    """utils.py:2276-2302: only lowercase-netloc / fragment-drop /
+    trailing-slash-strip — query params untouched (incl. tracking)."""
+    from crawl4ai_spark.functions.urlnorm import (
+        efficient_normalize_url_for_deep_crawl as en,
+    )
+    assert en("/A b/?utm_source=x#f", "https://Host.EX.com/base/") == \
+        "https://host.ex.com/A b?utm_source=x"
+    assert en("page/", "https://a.b/c/") == "https://a.b/c/page"
+    assert en(None, "https://a.b/") is None
