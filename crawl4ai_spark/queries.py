@@ -2054,6 +2054,113 @@ def regex_email(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.regex_extract_tokens(docs, "text", _EMAIL_PATTERN, "email")
 
 
+_CONF_TERMS = ["join", "hash", "spark"]
+
+# confidence = 0.4*coverage + 0.3*consistency + 0.3*saturation over a
+# 60-doc knowledge base with synthetic rounds (doc_id % 5); the three
+# component formulas are the same as their standalone oracles, composed.
+_CONFIDENCE_ORACLE = f"""
+WITH kb AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+         CAST(doc_id % 5 AS INT) AS round
+  FROM documents WHERE doc_id < 60
+),
+n AS (SELECT COUNT(*) AS n FROM kb),
+ts AS (
+  SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc) AS df
+  FROM (SELECT doc_id AS doc, UNNEST(string_split(text, ' ')) AS term FROM kb)
+  GROUP BY term
+),
+covs AS (
+  SELECT (df * 1.0 / n.n) * (1.0 + 0.5 * log10(1.0 + tf * 1.0 / n.n)) AS s
+  FROM ts, n WHERE term IN ({", ".join(repr(t) for t in _CONF_TERMS)})
+),
+cov AS (SELECT ROUND(sqrt(SUM(s) / {len(_CONF_TERMS)}.0), 6) AS coverage FROM covs),
+sample AS (SELECT doc_id, text FROM kb ORDER BY doc_id LIMIT 40),
+sh AS (SELECT DISTINCT doc_id AS id, UNNEST(string_split(text, ' ')) AS sh FROM sample),
+sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY a.id, b.id
+),
+j AS (
+  SELECT ROUND(common * 1.0 / (sa.sz + sb.sz - common), 6) AS jac
+  FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+),
+cons AS (SELECT ROUND(SUM(jac) / (40 * 39 / 2), 6) AS consistency FROM j),
+first_seen AS (
+  SELECT t, MIN(round) AS r0
+  FROM (SELECT round, UNNEST(list_distinct(string_split(text, ' '))) AS t FROM kb)
+  GROUP BY t
+),
+hist AS (SELECT r0 AS round, COUNT(*) AS new_terms FROM first_seen GROUP BY r0),
+f AS (SELECT new_terms AS first_new FROM hist ORDER BY round ASC LIMIT 1),
+l AS (SELECT new_terms AS last_new FROM hist ORDER BY round DESC LIMIT 1),
+sat AS (SELECT ROUND(1.0 - last_new / greatest(first_new, 1), 6) AS saturation FROM f, l)
+SELECT CAST(cov.coverage AS DOUBLE) AS coverage,
+       CAST(cons.consistency AS DOUBLE) AS consistency,
+       CAST(sat.saturation AS DOUBLE) AS saturation,
+       CAST(ROUND(0.4 * cov.coverage + 0.3 * cons.consistency
+                  + 0.3 * sat.saturation, 6) AS DOUBLE) AS confidence
+FROM cov, cons, sat
+"""
+
+
+@register("adaptive_confidence", _CONFIDENCE_ORACLE)
+def adaptive_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The adaptive-stop confidence (StatisticalStrategy, 0.4/0.3/0.3 —
+    adaptive_crawler.py:287-303) through the SAME code path the engine's
+    stop condition uses (confidence_metrics), over a 60-doc knowledge
+    base with synthetic rounds."""
+    from crawl4ai_spark.ops.adaptive import confidence_metrics
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 60).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text",
+        F.pmod(F.col("doc_id").cast("long"), F.lit(5)).cast("int").alias("round"),
+    )
+    m = confidence_metrics(docs, _CONF_TERMS)
+    return spark.createDataFrame(
+        [(round(m["coverage"], 6), round(m["consistency"], 6),
+          round(m["saturation"], 6), round(m["confidence"], 6))],
+        "coverage double, consistency double, saturation double, confidence double",
+    )
+
+
+_RANK_LINKS_ORACLE = f"""
+WITH docs AS ({_DOCS_I}),
+c AS (
+  SELECT {_url_sql('i')} AS url_norm,
+         CAST(i % 10 AS DOUBLE) / 10.0 AS relevance,
+         CAST(i % 7 AS DOUBLE) / 7.0 AS novelty,
+         CAST(i % 3 AS DOUBLE) / 3.0 AS authority
+  FROM docs
+)
+SELECT url_norm,
+       CAST(ROUND(0.5 * relevance + 0.3 * novelty + 0.2 * authority, 6) AS DOUBLE)
+         AS link_score
+FROM c
+ORDER BY link_score DESC, url_norm ASC
+LIMIT 10
+"""
+
+
+@register("rank_links", _RANK_LINKS_ORACLE)
+def rank_links_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank_links (adaptive_crawler.py:391-416): 0.5*relevance +
+    0.3*novelty + 0.2*authority, deterministic top-k."""
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    cands = docs.select(
+        url_expr(i).alias("url_norm"),
+        (F.pmod(i, F.lit(10)).cast("double") / 10.0).alias("relevance"),
+        (F.pmod(i, F.lit(7)).cast("double") / 7.0).alias("novelty"),
+        (F.pmod(i, F.lit(3)).cast("double") / 3.0).alias("authority"),
+    )
+    out = adaptive.rank_links(cands, top_k=10)
+    return out.select("url_norm", "link_score")
+
+
 _CONSIST_ORACLE = """
 WITH sub AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents WHERE doc_id < 40),
 sh AS (SELECT DISTINCT doc_id AS id, UNNEST(string_split(text, ' ')) AS sh FROM sub),
