@@ -1843,6 +1843,43 @@ def rate_limiter_fold_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# seed_pipeline: nonsense-filter + glob (www-stripped form must match,
+# the raw urls are all www'd) + dedup; expected set is closed-form
+_SEED_ORACLE = f"""
+WITH docs AS ({_DOCS_I})
+SELECT DISTINCT
+  ('https://www.seed' || CAST(i % 9 AS VARCHAR) || '.example.org/p/'
+   || CAST(i AS VARCHAR)) AS url
+FROM docs WHERE CAST(i % 6 AS INT) IN (3, 4, 5)
+"""
+
+
+@register("seed_pipeline", _SEED_ORACLE)
+def seed_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The seeder's filter->match->dedup pipeline
+    (async_url_seeder.py:344-401, 1284-1378, 81-86): static-asset and
+    wp-json junk dropped, glob matched against the www-STRIPPED form
+    (every kept raw URL is www'd, the pattern is not), duplicates
+    collapsed."""
+    from crawl4ai_spark.sources.seeder import seed_pipeline
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    good = F.format_string(
+        "https://www.seed%d.example.org/p/%d", F.pmod(i, F.lit(9)), i
+    )
+    url = (
+        F.when(i % 6 == 0, F.concat(good, F.lit("/style.css")))
+        .when(i % 6 == 1, F.format_string("https://seed%d.example.org/wp-json/x%d",
+                                          F.pmod(i, F.lit(9)), i))
+        .when(i % 6 == 2, F.format_string("https://other%d.net/p/%d", i, i))
+        .otherwise(good)
+    )
+    raw = docs.select(url.alias("url"))
+    raw = raw.unionByName(raw)  # every row duplicated -> dedup must collapse
+    return seed_pipeline(raw, pattern="https://seed*.example.org/p/*")
+
+
 _HEADREL_TERMS = ["Doc", "nm3", "d7"]
 
 
