@@ -1372,12 +1372,66 @@ def flagship(spark: SparkSession) -> DataFrame:
     return crawl_bfs(spark, "/root/testdata/sf0.001")
 
 
+# The driver's correctness gate verifies the FIRST 50 registered queries.
+# Round 2 lost driver rows for 11 operators because later registrations
+# pushed them past slot 50 (VERDICT.md "What's wrong" #2).  The window
+# below pins one representative per operator family into the first 50
+# slots; near-duplicate variants (regex_email ~ regex_extract,
+# url_canonicalize_ext ~ url_canonicalize, extra chunkers, all-pairs
+# baselines of bucketed ops) go to the tail, where tools/check_oracle.py
+# still verifies them locally every round.
+_WINDOW = [
+    # crawl engine
+    "crawl_bfs", "crawl_spans", "crawl_links", "crawl_politeness",
+    "crawl_robots", "crawl_bestfirst", "crawl_citations",
+    "rate_limiter_fold", "seed_pipeline", "config_routing", "head_relevance",
+    # URL functions / filters / scorers
+    "url_canonicalize", "url_base_domain", "url_scores", "url_filters",
+    "url_seo", "url_domain_authority", "filter_stats", "link_scores",
+    "rank_links",
+    # relational scan/join/agg
+    "tpch_q3_revenue",
+    # streaming windows
+    "events_tumbling", "events_sessionize",
+    # dedup family
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_ngram_capped", "dedup_pipeline", "dedup_lsh_capped",
+    # similarity / ANN
+    "embedding_cosine_topk", "ann_signlsh_topk", "embedding_neardup_lsh",
+    "cosine_clusters",
+    # text analysis / chunking / tokenization
+    "text_stats", "sanitize_text", "chunks_fixed", "chunks_merge",
+    "regex_extract", "regex_builtin_catalog", "bpe_tokens",
+    # structured extraction / markdown / multimodal
+    "jsoncss_extract", "jsonxpath_extract", "fit_html", "fit_markdown",
+    "multimodal_features",
+    # adaptive crawling
+    "adaptive_term_stats", "adaptive_confidence", "adaptive_consistency",
+    "adaptive_saturation",
+    # BM25
+    "bm25_scores",
+]
+
+_TAIL = [
+    "head_parse", "tpch_q1_pricing", "events_topk", "jsoncss_nested",
+    "multimodal_resize_plan", "adaptive_coverage", "dedup_ngram_jaccard",
+    "embedding_neardup", "chunks_sliding", "chunks_overlap", "chunks_regex",
+    "chunks_sentences", "regex_email", "url_canonicalize_ext",
+]
+
+
+def _ordered(mapping: dict) -> dict:
+    listed = [n for n in _WINDOW + _TAIL if n in mapping]
+    extra = [n for n in mapping if n not in set(listed)]
+    return {n: mapping[n] for n in listed + extra}
+
+
 def queries() -> dict:
-    return dict(QUERIES)
+    return _ordered(QUERIES)
 
 
 def oracle_sql() -> dict:
-    return dict(ORACLES)
+    return _ordered(ORACLES)
 
 
 # ===========================================================================
@@ -1556,8 +1610,8 @@ WITH docs AS ({_DOCS_I}),
 u AS (SELECT i, (i % {N_HOSTS}) AS h, ('/page/' || CAST(i AS VARCHAR)) AS p FROM docs),
 c AS (
   SELECT COUNT(*) AS t1,
-         SUM(CASE WHEN h <> 3 THEN 1 ELSE 0 END) AS p1,
-         SUM(CASE WHEN h <> 3 AND p NOT LIKE '/page/1%' THEN 1 ELSE 0 END) AS p2
+         CAST(SUM(CASE WHEN h <> 3 THEN 1 ELSE 0 END) AS BIGINT) AS p1,
+         CAST(SUM(CASE WHEN h <> 3 AND p NOT LIKE '/page/1%' THEN 1 ELSE 0 END) AS BIGINT) AS p2
   FROM u
 )
 SELECT 'domain' AS filter, t1 AS total_urls, p1 AS passed_urls,
