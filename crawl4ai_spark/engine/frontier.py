@@ -444,6 +444,8 @@ class CrawlEngine:
                 .withColumn("success", F.lit(False))
                 .withColumn("spans", F.lit(None).cast(pages.schema["spans"].dataType))
                 .withColumn("markdown", F.lit(None).cast("string"))
+                .withColumn("markdown_citations", F.lit(None).cast("string"))
+                .withColumn("references_md", F.lit(None).cast("string"))
                 .withColumn("links", F.lit(None).cast(pages.schema["links"].dataType))
                 .withColumn("media", F.lit(None).cast(pages.schema["media"].dataType))
                 .withColumn("tables", F.lit(None).cast(pages.schema["tables"].dataType))

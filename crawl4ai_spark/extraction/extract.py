@@ -73,6 +73,8 @@ PAGE_SCHEMA = T.StructType(
         T.StructField("url", T.StringType()),
         T.StructField("spans", SPAN_TYPE),
         T.StructField("markdown", T.StringType()),
+        T.StructField("markdown_citations", T.StringType()),
+        T.StructField("references_md", T.StringType()),
         T.StructField("links", LINK_TYPE),
         T.StructField("media", MEDIA_TYPE),
         T.StructField("tables", TABLE_TYPE),
@@ -86,6 +88,9 @@ def _make_extractor(carry: tuple[str, ...], metrics_acc=None):
         # import inside the worker so the shipped zip resolves it
         from pyspark import TaskContext
 
+        from crawl4ai_spark.extraction.citations import (
+            convert_links_to_citations,
+        )
         from crawl4ai_spark.extraction.html_parser import extract_page
 
         for pdf in batches:
@@ -96,7 +101,8 @@ def _make_extractor(carry: tuple[str, ...], metrics_acc=None):
                 failed = int((~pdf["success"]).sum()) if "success" in pdf else 0
                 metrics_acc.add({pid: (len(pdf), failed)})
             out = {k: [] for k in
-                   ("url", "spans", "markdown", "links", "media", "tables", "metadata")}
+                   ("url", "spans", "markdown", "markdown_citations",
+                    "references_md", "links", "media", "tables", "metadata")}
             for url, html in zip(pdf["url"], pdf["html"]):
                 r = extract_page(url, html)
                 out["url"].append(url)
@@ -105,6 +111,9 @@ def _make_extractor(carry: tuple[str, ...], metrics_acc=None):
                      for s in r["spans"]]
                 )
                 out["markdown"].append(r["markdown"])
+                cited, refs = convert_links_to_citations(r["markdown"], url)
+                out["markdown_citations"].append(cited)
+                out["references_md"].append(refs)
                 out["links"].append(
                     [(l["href"], l["url_norm"], l["text"], l["title"], l["internal"])
                      for l in r["links"]]

@@ -2569,3 +2569,55 @@ def bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# -- markdown citations ------------------------------------------------------
+
+def _citations_oracle() -> str:
+    nl = "chr(10)"
+    nl2 = f"{nl} || {nl}"
+    return f"""
+WITH docs AS ({_DOCS_I}),
+cnt AS ({_CNT}),
+k AS (SELECT i, text, {_KIDS_SQL} AS ks FROM docs, cnt),
+kid AS (
+  SELECT i, t.j, ks[t.j] AS c
+  FROM k, UNNEST(range(1, len(ks) + 1)) AS t(j)
+),
+cit AS (
+  SELECT i,
+    string_agg('* go ' || CAST(c AS VARCHAR) || '⟨' || CAST(j + 1 AS VARCHAR)
+               || '⟩', {nl} ORDER BY j) AS links_md,
+    string_agg('⟨' || CAST(j + 1 AS VARCHAR) || '⟩ ' || {_url_sql('c')}
+               || ': go ' || CAST(c AS VARCHAR), {nl} ORDER BY j) AS links_ref
+  FROM kid GROUP BY i
+)
+SELECT {_url_sql('i')} AS url_norm,
+  ('# Doc ' || CAST(i AS VARCHAR) || {nl2} || text || {nl2}
+   || '![image ' || CAST(i AS VARCHAR) || '⟨1⟩]' || {nl2}
+   || 'tail ' || CAST(i AS VARCHAR)
+   || COALESCE({nl2} || c.links_md, '')) AS md_cited,
+  ({nl2} || '## References' || {nl2}
+   || '⟨1⟩ https://cdn.example.com/img/' || CAST(i AS VARCHAR) || '.png: image '
+   || CAST(i AS VARCHAR) || {nl}
+   || COALESCE(c.links_ref || {nl}, '')) AS references_md
+FROM k LEFT JOIN cit c USING (i)
+"""
+
+
+@register("crawl_citations", _citations_oracle())
+def crawl_citations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Citation-style markdown (markdown_generation_strategy.py:82-146):
+    every link becomes ``text⟨n⟩`` (images ``![alt⟨n⟩]``), numbered by
+    first occurrence, with a trailing references section — checked
+    full-string against the closed-form expectation for every corpus
+    page."""
+    from crawl4ai_spark.extraction.extract import extract_pages
+
+    corpus = build_corpus(_t(spark, sf_dir, "documents"))
+    pages = extract_pages(corpus.withColumnRenamed("url_norm", "url"))
+    return pages.select(
+        F.col("url").alias("url_norm"),
+        F.col("markdown_citations").alias("md_cited"),
+        "references_md",
+    )
