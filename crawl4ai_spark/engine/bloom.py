@@ -113,8 +113,9 @@ class BloomSeenSet:
         """Bulk-(re)build all shards from the full seen set. Called when
         the bloom first engages and again whenever seen outgrows
         capacity (the round boundary is the natural rebuild point).
-        Writes all n_shards rows — even empty ones — so add/probe always
-        cogroup against a complete, uniformly-sized shard table."""
+        Shards with zero keys get NO row (see the nullable/float64 note
+        below); probe/add cogroup by shard_id and treat an absent shard
+        as all-zeros."""
         self.m_bits = size_m_bits(int(expected_n * headroom), self.n_shards)
         m_bits, k = self.m_bits, self.k
 

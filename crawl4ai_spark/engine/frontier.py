@@ -492,6 +492,14 @@ class CrawlEngine:
             )
         ).withColumn("tag", F.lit("d"))
         if cands is not None:
+            # A seed stays out of `seen` (reference quirk), so one that
+            # is deferred/retried (tag=d) can be rediscovered as a tag=n
+            # candidate in the same round — the frontier then briefly
+            # holds two rows for one url_hash, exactly like the
+            # reference queueing the seed twice. The politeness winners
+            # joins are distinct-on-key (politeness.py) so the
+            # duplicates never multiply; both rows are fetched, matching
+            # the reference's re-crawl-once-on-rediscovery behavior.
             state = state.unionByName(
                 self._to_state(self._frontier_row(cands), rnd=rnd)
                 .withColumn("tag", F.lit("n"))
@@ -676,14 +684,40 @@ class CrawlEngine:
                 # scale path: a remaining-sized TakeOrdered heap per task
                 # is a non-starter at 10^7+; cut at the approximate score
                 # quantile instead (documented approximation — only
-                # reachable with max_pages > cap_exact_limit)
+                # reachable with max_pages > cap_exact_limit).
+                # `score >= thr` alone is NOT a cap: every thr-tied row
+                # survives, and with a constant/default scorer ALL rows
+                # tie — so the cap must also sub-select the tied band.
+                # Strictly-above rows all belong to the exact top-k; the
+                # tied band is trimmed to the residual need either
+                # exactly (small need: same (depth, url_norm) tie-break
+                # as the exact path) or by a deterministic url_hash
+                # quantile cut (huge need: no heap, overshoot bounded by
+                # the sketch's 0.1% relative error instead of unbounded).
                 cands = cands.persist()
                 self._scratch.append(cands)  # unpersisted after the state write
                 n_cand = cands.count()
                 if n_cand > remaining:
                     q = 1.0 - remaining / n_cand
                     thr = cands.approxQuantile("score", [q], 0.001)[0]
-                    cands = cands.where(F.col("score") >= thr)
+                    above = cands.where(F.col("score") > thr)
+                    tied = cands.where(F.col("score") == thr)
+                    needed = remaining - above.count()
+                    if needed <= 0:
+                        cands = above
+                    elif needed <= cfg.cap_exact_limit:
+                        cands = above.unionByName(
+                            tied.orderBy(F.col("depth").asc(),
+                                         F.col("url_norm").asc()).limit(needed)
+                        )
+                    else:
+                        n_tied = tied.count()
+                        if n_tied > needed:
+                            cut = tied.approxQuantile(
+                                "url_hash", [needed / n_tied], 0.001
+                            )[0]
+                            tied = tied.where(F.col("url_hash") <= cut)
+                        cands = above.unionByName(tied)
 
         return cands.withColumn("retry_count", F.lit(0)).withColumn(
             "wait_rounds", F.lit(0)

@@ -116,6 +116,11 @@ def select_fetch_batch(
             pruned.withColumn("__rh", F.row_number().over(w_host))
             .where(F.col("__rh") <= F.col("budget"))
             .select(key)
+            # a url_hash can appear twice in the frontier (a deferred
+            # seed rediscovered by link_discovery — the seed-quirk path);
+            # winners must be distinct on the key or the flag-join below
+            # multiplies those rows
+            .distinct()
         )
         if global_budget is not None:
             # best-first batch cap (bff_strategy.py:161-174): global
@@ -127,7 +132,7 @@ def select_fetch_batch(
             pool = f.where(F.col("__over").isNull()).select(*pool_cols).unionByName(
                 pruned.join(winners, key, "left_semi").select(*pool_cols)
             )
-            winners = pool.orderBy(*order).limit(global_budget).select(key)
+            winners = pool.orderBy(*order).limit(global_budget).select(key).distinct()
             f = f.join(
                 winners.withColumn("__sel", F.lit(True)), key, "left"
             ).withColumn(
@@ -147,7 +152,7 @@ def select_fetch_batch(
     if global_budget is not None:
         top = (
             f.where("selected").orderBy(*order).limit(global_budget)
-            .select(F.col(key).alias("__top_key"))
+            .select(F.col(key).alias("__top_key")).distinct()
         )
         f = f.join(
             F.broadcast(top), f[key] == top["__top_key"], "left"

@@ -96,7 +96,14 @@ def _make_extractor(carry: tuple[str, ...], metrics_acc=None):
         for pdf in batches:
             if metrics_acc is not None:
                 # per-partition fetch lineage rides the task-completion
-                # channel — no separate metrics aggregation job
+                # channel — no separate metrics aggregation job.
+                # At-least-once by design: accumulator updates inside a
+                # transformation are re-applied on task retry /
+                # speculative attempts, so lineage counts can only ever
+                # OVER-count on failure-recovery paths. The round
+                # summary (pages/failures/p50) does NOT come from here —
+                # it rides an Observation on the write action, which is
+                # exactly-once — so retries skew diagnostics only.
                 pid = TaskContext.get().partitionId()
                 failed = int((~pdf["success"]).sum()) if "success" in pdf else 0
                 metrics_acc.add({pid: (len(pdf), failed)})

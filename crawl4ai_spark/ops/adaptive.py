@@ -53,6 +53,12 @@ def consistency_score(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id") -> DataFrame:
     """Mean pairwise 1-gram Jaccard across all doc pairs (single row)."""
     n = df.count()
+    if n < 2:
+        # no pairs to compare: the reference scores a 0/1-doc corpus as
+        # fully consistent (adaptive_crawler.py _calculate_consistency),
+        # not 0.0 — returning 0 here would hold confidence down by 0.3
+        # and delay the adaptive stop on tiny crawls
+        return df.sparkSession.range(1).select(F.lit(1.0).alias("consistency"))
     n_pairs = n * (n - 1) // 2
     pairs = ngram_jaccard_pairs(df, text_col, id_col, n=1, threshold=0.0)
     return pairs.agg(

@@ -152,17 +152,22 @@ def test_resume_equals_uninterrupted(spark, tmp_path, corpus_pages):
 
 
 def test_capacity_cap_quantile_path(spark, tmp_path, corpus_pages):
-    """The scale-path capacity cap (approx-quantile score cut, engaged
-    when remaining > cap_exact_limit; forced here with limit 0) is a
-    documented conservative approximation: it must admit AT LEAST the
-    exact path's top candidates (score >= threshold keeps ties), never
-    fewer, and the crawl must still terminate at/over max_pages."""
+    """The scale-path capacity cap (engaged when remaining >
+    cap_exact_limit; forced here with limit 0) must enforce the cap
+    even when every score ties (the default scorer scores everything
+    0.0): the tied band is sub-selected deterministically, so the crawl
+    admits ~remaining candidates per round — never whole levels — and
+    two runs pick the identical set."""
     cfg_exact = CrawlConfig(max_depth=3, max_pages=8, use_bloom=False)
     eng_a, sa = run_engine(spark, tmp_path / "a", corpus_pages, cfg_exact)
     cfg_quant = CrawlConfig(max_depth=3, max_pages=8, use_bloom=False,
                             cap_exact_limit=0)
     eng_b, sb = run_engine(spark, tmp_path / "b", corpus_pages, cfg_quant)
     a, b = crawl_multiset(eng_a, spark), crawl_multiset(eng_b, spark)
-    assert sb["pages_crawled"] >= sa["pages_crawled"] >= 8
-    assert set(a) <= set(b)          # over-admits ties, never drops top
-    assert len(b) <= len(a) + 12     # bounded by one round of tie spill
+    assert sb["pages_crawled"] >= 8          # still reaches the budget
+    # cap enforced: no whole-level blow-up past the exact path's size
+    # (slack = quantile-sketch error, a handful of rows at test scale)
+    assert len(b) <= len(a) + 4
+    # deterministic: an identical re-run admits the identical set
+    eng_c, _ = run_engine(spark, tmp_path / "c", corpus_pages, cfg_quant)
+    assert crawl_multiset(eng_c, spark) == b

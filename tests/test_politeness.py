@@ -74,3 +74,22 @@ def test_host_state_backoff_and_recovery(spark):
     out = {r.host: r for r in hs.collect()}
     assert out["a.test"].budget == 4 and out["a.test"].fail_count == 1
     assert out["b.test"].budget == 8 and out["b.test"].fail_count == 0
+
+
+def test_duplicate_key_rows_do_not_multiply(spark):
+    """A url can appear twice in the frontier (deferred seed + same-round
+    rediscovery, the seed-quirk path): the winners flag-join must stay
+    distinct-on-key — rows are retained and flagged, never multiplied."""
+    base = _frontier(spark, n=10, hosts=1)
+    dup = base.where(F.col("url_norm") == "https://h0.test/p/0")
+    f = base.unionByName(dup)
+
+    marked = select_fetch_batch(f, None, base_budget=3)
+    assert marked.count() == 11, "row multiplication through winners join"
+    # the dup key is a winner (priority 0): both its rows get selected,
+    # any other winner occupies one slot each — bounded, no blow-up
+    assert marked.where("selected").count() <= 4
+
+    marked2 = select_fetch_batch(f, None, base_budget=3, global_budget=2)
+    assert marked2.count() == 11
+    assert marked2.where("selected").count() <= 3
