@@ -166,9 +166,13 @@ class CrawlEngine:
         self.bloom = BloomSeenSet(
             self.t_bloom, self.cfg.n_shards, self.cfg.bloom_m_bits, self.cfg.bloom_k
         )
+        from crawl4ai_spark.engine.adaptive_state import AdaptiveState
+
+        self.adaptive_state = AdaptiveState(warehouse)
         self._seen_count = 0
         self._bloom_built = False
         self._bloom_synced_round = -1
+        self._adaptive_last_round = -1
         self._frontier_count: int | None = None  # from last write's Observation
         self._scratch: list[DataFrame] = []      # persisted intermediates
 
@@ -282,11 +286,12 @@ class CrawlEngine:
         self._frontier_count = last.get("frontier_count")
         if last.get("bloom_m_bits"):
             self.bloom.m_bits = last["bloom_m_bits"]
+        self._adaptive_last_round = last.get("adaptive_last_round", -1)
         for name, tbl in [
             ("frontier", self.t_frontier), ("seen", self.t_seen),
             ("pages", self.t_pages), ("host_state", self.t_host),
             ("metrics", self.t_metrics), ("seen_bloom", self.t_bloom),
-        ]:
+        ] + self.adaptive_state.tables:
             want = last["tables"].get(name)
             if want is not None and tbl.snapshot_data() != want:
                 tbl.rollback_to(want)
@@ -314,36 +319,37 @@ class CrawlEngine:
             if cfg.adaptive is not None:
                 every = cfg.adaptive.get("check_every", 1)
                 if (stats["rounds"] % every) == 0:
-                    m = self._adaptive_metrics()
+                    m = self._adaptive_metrics(rnd)
                     stats["adaptive"] = m
                     if self._adaptive_should_stop(m):
                         stats["stopped_by"] = "adaptive_confidence"
                         break
         return stats
 
-    def _adaptive_metrics(self) -> dict:
+    def _adaptive_metrics(self, rnd: int) -> dict:
         """Confidence over everything crawled so far (page markdown is
         the knowledge-base text, like the reference's cleaned_html-fed
-        corpus)."""
-        from crawl4ai_spark.ops.adaptive import confidence_metrics
-
+        corpus). Incremental: only the rounds since the last check are
+        read and tokenized; the running term/round/sample state tables
+        (engine/adaptive_state.py) carry everything older, so the check
+        costs O(window delta) + O(vocab merge), not O(corpus)."""
         pages = self.t_pages.read(self.spark)
-        docs = (
+        delta = (
             pages.where("success")
+            .where((F.col("round") > self._adaptive_last_round)
+                   & (F.col("round") <= rnd))
             .select(
                 F.col("url_norm").alias("doc_id"),
+                url_hash(F.col("url_norm")).alias("url_hash"),
                 F.coalesce(F.col("markdown"), F.lit("")).alias("text"),
                 "round",
             )
-            # the knowledge base is keyed by URL: the seed re-crawl quirk
-            # (and any re-fetch) must not double-count a page; earliest
-            # round wins deterministically
-            .groupBy("doc_id")
-            .agg(F.min(F.struct("round", "text")).alias("rt"))
-            .select("doc_id", F.col("rt.text").alias("text"),
-                    F.col("rt.round").alias("round"))
         )
-        return confidence_metrics(docs, self.cfg.adaptive["query_terms"])
+        self.adaptive_state.update(self.spark, delta)
+        self._adaptive_last_round = rnd
+        return self.adaptive_state.metrics(
+            self.spark, self.cfg.adaptive["query_terms"]
+        )
 
     def _adaptive_should_stop(self, m: dict) -> bool:
         """should_stop (adaptive_crawler.py:505-523): confidence OR
@@ -587,14 +593,18 @@ class CrawlEngine:
                 "bloom_built": self._bloom_built,
                 "bloom_synced_round": self._bloom_synced_round,
                 "bloom_m_bits": self.bloom.m_bits,
+                "adaptive_last_round": self._adaptive_last_round,
                 "wall_s": time.monotonic() - t0,
                 "tables": {
-                    "frontier": self.t_frontier.snapshot_data(),
-                    "seen": self.t_seen.snapshot_data(),
-                    "pages": self.t_pages.snapshot_data(),
-                    "host_state": self.t_host.snapshot_data(),
-                    "metrics": self.t_metrics.snapshot_data(),
-                    "seen_bloom": self.t_bloom.snapshot_data(),
+                    **{
+                        "frontier": self.t_frontier.snapshot_data(),
+                        "seen": self.t_seen.snapshot_data(),
+                        "pages": self.t_pages.snapshot_data(),
+                        "host_state": self.t_host.snapshot_data(),
+                        "metrics": self.t_metrics.snapshot_data(),
+                        "seen_bloom": self.t_bloom.snapshot_data(),
+                    },
+                    **{n: t.snapshot_data() for n, t in self.adaptive_state.tables},
                 },
             }
         )

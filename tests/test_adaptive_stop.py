@@ -107,3 +107,30 @@ def test_adaptive_stops_earlier_than_plain(spark, tmp_path):
     s_adapt = adaptive.run([SEED])
     assert s_adapt["stopped_by"] == "adaptive_confidence"
     assert s_adapt["rounds"] == 1 < s_plain["rounds"]
+
+
+def test_adaptive_state_survives_resume(spark, tmp_path):
+    """The incremental adaptive tables checkpoint with the round commit:
+    stopping after 2 rounds and resuming in a NEW engine must yield the
+    same metrics as one uninterrupted crawl (both equal the model)."""
+    corpus = fakeshop_spark_df(spark, n_sites=1, n_categories=3,
+                               n_subcats=2, n_products=2)
+    adaptive = {"query_terms": TERMS, "confidence_threshold": 2.0}
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    cfg_half = CrawlConfig(max_depth=3, use_bloom=False, max_rounds=2,
+                           adaptive=adaptive)
+    CrawlEngine(spark, wh, CorpusFetcher(corpus), cfg_half).run([SEED])
+
+    cfg_full = CrawlConfig(max_depth=3, use_bloom=False, adaptive=adaptive)
+    eng = CrawlEngine(spark, wh, CorpusFetcher(corpus), cfg_full)
+    stats = eng.run([SEED])
+
+    pages = eng.t_pages.read(spark).where("success").select(
+        "url_norm", "markdown", "round"
+    ).collect()
+    rows = [(r.url_norm, r.markdown or "", r["round"]) for r in pages]
+    want = model_metrics(rows, TERMS)
+    got = stats["adaptive"]
+    for k in ("coverage", "consistency", "saturation", "confidence"):
+        assert abs(got[k] - want[k]) < 1e-6, (k, got[k], want[k])
