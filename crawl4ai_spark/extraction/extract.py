@@ -92,6 +92,7 @@ def _make_extractor(carry: tuple[str, ...], metrics_acc=None):
             convert_links_to_citations,
         )
         from crawl4ai_spark.extraction.html_parser import extract_page
+        from crawl4ai_spark.functions.sanitize import sanitize_input_encode
 
         for pdf in batches:
             if metrics_acc is not None:
@@ -111,7 +112,10 @@ def _make_extractor(carry: tuple[str, ...], metrics_acc=None):
                    ("url", "spans", "markdown", "markdown_citations",
                     "references_md", "links", "media", "tables", "metadata")}
             for url, html in zip(pdf["url"], pdf["html"]):
-                r = extract_page(url, html)
+                # body sanitization before any parsing, like the
+                # reference's aprocess_html entry
+                # (async_webcrawler.py:271,341 sanitize_input_encode)
+                r = extract_page(url, sanitize_input_encode(html))
                 out["url"].append(url)
                 out["spans"].append(
                     [(s["kind"], s["text"], s["media_ref"], s["offset"])

@@ -2621,3 +2621,64 @@ def crawl_citations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("markdown_citations").alias("md_cited"),
         "references_md",
     )
+
+
+# -- sanitization / encoding repair ------------------------------------------
+
+_MOJI_PLANT = [
+    " don\u00e2\u20ac\u2122t",
+    " \u00e2\u20ac\u0153q\u00e2\u20ac\u009d",
+    " caf\u00c3\u00a9",
+    " \u00e2\u20ac\u201d dash",
+    " 90\u00c2\u00b0",
+    " ma\u00c3\u00b1ana\u00e2\u20ac\u00a6",
+]
+
+
+def _sanitize_oracle() -> str:
+    from crawl4ai_spark.functions.sanitize import MOJIBAKE_PAIRS
+
+    expr = "t"
+    for bad, good in MOJIBAKE_PAIRS:
+        expr = f"replace({expr}, '{bad}', '{good}')"
+    plant_case = " ".join(
+        f"WHEN {k} THEN '{s}'" for k, s in enumerate(_MOJI_PLANT)
+    )
+    mixed = " mixed \u00c3\u00a9\u00e2\u20ac\u2122\u00c2\u00ab"
+    return f"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         text || CASE CAST(doc_id AS BIGINT) % {len(_MOJI_PLANT)} {plant_case} END
+              || CASE WHEN CAST(doc_id AS BIGINT) % 7 = 0
+                      THEN '{mixed}' ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id, {expr} AS clean, CAST(len({expr}) AS BIGINT) AS clean_len
+FROM d
+"""
+
+
+@register("sanitize_text", _sanitize_oracle())
+def sanitize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic encoding repair (the body-sanitization stage every
+    fetched page passes through, utils.py:775-792 + the cp1252-mojibake
+    fix-up a 100 TB text pipeline needs): a pure Catalyst replace chain
+    over text with planted mis-decodings -- no UDF, whole-stage codegen."""
+    from crawl4ai_spark.functions.sanitize import repair_mojibake_expr
+
+    plant = F.element_at(
+        F.array(*[F.lit(s) for s in _MOJI_PLANT]),
+        (F.pmod(F.col("doc_id").cast("long"), F.lit(len(_MOJI_PLANT))) + 1).cast("int"),
+    )
+    mixed = F.when(
+        F.pmod(F.col("doc_id").cast("long"), F.lit(7)) == 0,
+        F.lit(" mixed \u00c3\u00a9\u00e2\u20ac\u2122\u00c2\u00ab"),
+    ).otherwise(F.lit(""))
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(F.col("text"), plant, mixed).alias("t"),
+    )
+    clean = repair_mojibake_expr(F.col("t"))
+    return docs.select(
+        "doc_id", clean.alias("clean"), F.length(clean).cast("long").alias("clean_len")
+    )
