@@ -23,7 +23,7 @@ operator here has an exact DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from crawl4ai_spark.ops.text import hash64, tokens, word_ngrams
@@ -70,6 +70,7 @@ def lsh_candidate_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    max_bucket_df: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs (id_a < id_b, est_sim).
 
@@ -77,6 +78,17 @@ def lsh_candidate_pairs(
     bucket become candidates. est_sim = fraction of equal signature
     components. The per-band groupBy-join shuffles only (band_key, id,
     signature), never document text.
+
+    ``max_bucket_df`` is the hot-bucket cap, the twin of
+    ``max_shingle_df`` in :func:`ngram_jaccard_pairs`: a degenerate band
+    (e.g. every empty-text doc hashes to one signature slice) makes a
+    single bucket quadratic — 10^6 co-bucketed docs alone contribute
+    10^12 join rows. Buckets with more than K members are dropped from
+    the join entirely, so pairs can only be MISSED, never invented (a
+    conservative dedup; the docs excluded here are exactly the ones
+    exact-duplicate hashing catches for free). The membership count is
+    a window over (band, key) — the same keys the self-join shuffles
+    on, so Catalyst reuses one exchange for both.
     """
     rows = num_hashes // bands
     # Relational signature build: explode shingles once, then num_hashes
@@ -109,6 +121,13 @@ def lsh_candidate_pairs(
             ])
         ).alias("bk"),
     ).select("id", "sig", "bk.band", "bk.key")
+    if max_bucket_df is not None:
+        bw = Window.partitionBy("band", "key")
+        banded = (
+            banded.withColumn("__bdf", F.count(F.lit(1)).over(bw))
+            .where(F.col("__bdf") <= max_bucket_df)
+            .drop("__bdf")
+        )
 
     a = banded.alias("a")
     b = banded.alias("b")

@@ -155,17 +155,32 @@ def signlsh_neardup_pairs(
     threshold: float = 0.95,
     n_bits: int = 4,
     dim: int = 64,
+    max_bucket_df: int | None = None,
 ) -> DataFrame:
     """The PRODUCTION near-dup pairs path: only same-sign-LSH-bucket
     pairs ever reach the dot product (the bucket equijoin replaces the
     O(n^2) cross join of embedding_neardup_pairs, which stays as the
     exact verification path). Recall tunes via n_bits; near-identical
     vectors land in the same bucket with high probability.
-    Output: (id_a < id_b, cos >= threshold)."""
+    Output: (id_a < id_b, cos >= threshold).
+
+    ``max_bucket_df`` caps hot buckets (the twin of the shingle-DF cap
+    in ops.dedup): a degenerate bucket — e.g. every zero vector signs
+    to the same code — is quadratic in the join. Buckets over K members
+    are dropped wholesale, so pairs are only ever MISSED (conservative);
+    the count is a window over the same bucket key the join shuffles
+    on, so the exchange is shared."""
     v = emb.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
         sign_lsh_bucket(F.col(vec_col), n_bits, dim).alias("bucket"),
     )
+    if max_bucket_df is not None:
+        bw = Window.partitionBy("bucket")
+        v = (
+            v.withColumn("__bdf", F.count(F.lit(1)).over(bw))
+            .where(F.col("__bdf") <= max_bucket_df)
+            .drop("__bdf")
+        )
     a, b = v.alias("a"), v.alias("b")
     return (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket"))

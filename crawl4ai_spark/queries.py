@@ -931,6 +931,80 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LSH_BUCKET_CAP = 16
+
+
+def _minhash_capped_oracle() -> str:
+    rows = _MINHASH_H // _MINHASH_BANDS
+    toks = "string_split(text, ' ')"
+    bi = (f"list_transform(range(1, greatest(2, len({toks}))), "
+          f"i -> array_to_string(list_slice({toks}, i, i + 1), ' '))")
+    sig_terms = ", ".join(
+        f"list_min(list_transform(sh, s -> {_h64('s', seed=k)}))"
+        for k in range(_MINHASH_H)
+    )
+    band_selects = " UNION ALL ".join(
+        f"""SELECT id, {b} AS band, md5({" || ',' || ".join(
+            f"CAST(sig[{b * rows + r + 1}] AS VARCHAR)" for r in range(rows)
+        )}) AS key FROM sigs"""
+        for b in range(_MINHASH_BANDS)
+    )
+    return f"""
+WITH all_docs AS (
+  SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT) + 10000, text || ' join hash'
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT) + 20000, 'degenerate boilerplate page body'
+  FROM documents WHERE doc_id % 8 = 0
+),
+sh AS (SELECT id, list_distinct({bi}) AS sh FROM all_docs),
+sigs AS (SELECT id, [{sig_terms}] AS sig FROM sh),
+banded AS ({band_selects}),
+capped AS (
+  SELECT id, band, key FROM (
+    SELECT id, band, key, COUNT(*) OVER (PARTITION BY band, key) AS bdf
+    FROM banded
+  ) WHERE bdf <= {_LSH_BUCKET_CAP}
+),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM capped a JOIN capped b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+)
+SELECT p.id_a, p.id_b,
+  CAST(ROUND(len(list_filter(range(1, {_MINHASH_H + 1}),
+        j -> sa.sig[j] = sb.sig[j])) / {_MINHASH_H}.0, 6) AS DOUBLE) AS est_sim
+FROM pairs p
+JOIN sigs sa ON sa.id = p.id_a
+JOIN sigs sb ON sb.id = p.id_b
+"""
+
+
+@register("dedup_lsh_capped", _minhash_capped_oracle())
+def dedup_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates with the hot-bucket guard (max_bucket_df): the
+    planted degenerate set (identical boilerplate docs) collapses into
+    one bucket per band, which the cap drops wholesale — conservative
+    misses only, never invented pairs. The production posture for a
+    100 TB corpus where empty/boilerplate bodies make a band quadratic."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    dups = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat("text", F.lit(" join hash")).alias("text"),
+    )
+    degen = docs.where(F.col("doc_id") % 8 == 0).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.lit("degenerate boilerplate page body").alias("text"),
+    )
+    return dedup.lsh_candidate_pairs(
+        docs.unionByName(dups).unionByName(degen), num_hashes=_MINHASH_H,
+        bands=_MINHASH_BANDS, shingle_n=2, max_bucket_df=_LSH_BUCKET_CAP,
+    )
+
+
 _SIMHASH_ORACLE = f"""
 WITH tok AS (
   SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS tok

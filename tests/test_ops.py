@@ -39,6 +39,48 @@ def test_minhash_lsh_finds_near_dups(docs):
         assert near > 0.2
 
 
+def test_lsh_hot_bucket_cap(spark):
+    """Degenerate input — 1k identical signatures collapse into one
+    bucket per band, which is quadratic uncapped (499,500 pairs) and
+    must be dropped WHOLESALE by max_bucket_df (conservative misses,
+    never invented pairs). Distinct near-dups in small buckets
+    survive."""
+    n = 1000
+    degen = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("identical boilerplate body text").alias("text"),
+    )
+    pair = spark.createDataFrame(
+        [(5000, "a unique sentence about spark shuffles"),
+         (5001, "a unique sentence about spark shuffles")],
+        "doc_id long, text string",
+    )
+    capped = dedup.lsh_candidate_pairs(
+        degen.unionByName(pair), num_hashes=8, bands=4, shingle_n=2,
+        max_bucket_df=16,
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in capped} == {(5000, 5001)}
+    # sanity: uncapped on a small identical set really is quadratic
+    small = degen.where("doc_id < 30")
+    uncapped = dedup.lsh_candidate_pairs(
+        small, num_hashes=8, bands=4, shingle_n=2
+    ).count()
+    assert uncapped == 30 * 29 // 2
+
+
+def test_signlsh_hot_bucket_cap(spark):
+    """Same guard on the embedding side: a degenerate bucket (equal
+    vectors sign to one code) is excluded; a small distinct pair
+    survives."""
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(100)]
+    rows += [(500, [0.0, 0.0, 0.9, 0.1]), (501, [0.0, 0.0, 0.9, 0.1])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = similarity.signlsh_neardup_pairs(
+        emb, threshold=0.9, n_bits=4, dim=4, max_bucket_df=16
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in got} == {(500, 501)}
+
+
 def test_simhash_identical_for_identical_text(docs):
     out = {r.doc_id: r.simhash for r in dedup.simhash_relational(docs).collect()}
     assert out[1] == out[2]
