@@ -36,26 +36,39 @@ def bm25_scores(
     b: float = 0.75,
 ) -> DataFrame:
     """(id_col, bm25) for every document. Deterministic: per-term
-    contributions are summed in sorted(query_terms) order."""
-    n_docs = df.count()
+    contributions are summed in sorted(query_terms) order.
+
+    Fully plan-side — NO driver jobs: corpus stats (N, avgdl) are a
+    1-row aggregate and the per-term document frequencies a 1-row
+    pivot, both broadcast into the scoring projection via nested-loop
+    joins of single-row dims. One invocation = one job, so callers
+    embedding this in a larger plan (head_relevance, the seeder) don't
+    pay two extra collect round-trips per call."""
     toks = tokens(text_col)
     base = df.select(
         F.col(id_col), toks.alias("__toks"), F.size(toks).alias("__dl")
     )
-    avgdl = base.agg(F.avg("__dl")).collect()[0][0] or 1.0
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.coalesce(F.avg("__dl"), F.lit(1.0)).alias("__avgdl"),
+    ).withColumn("__k", F.lit(1))
 
-    # pass 1: df per query term (single agg over the filtered term table)
+    # per-term df as ONE wide row (pivot with explicit values => no
+    # extra distinct job); left join keeps the stats row when no query
+    # term occurs anywhere
     terms = sorted(set(query_terms))
     tdf = (
         base.select(F.col(id_col), F.explode("__toks").alias("t"))
         .where(F.col("t").isin(terms))
-        .groupBy("t")
-        .agg(F.countDistinct(id_col).alias("df"))
+        .groupBy(F.lit(1).alias("__k"))
+        .pivot("t", terms)
+        .agg(F.countDistinct(id_col))
     )
-    df_map = {r["t"]: r["df"] for r in tdf.collect()}  # <= |query| rows
-
-    # pass 2: projection; tf via native array filter, idf as literal
-    import math
+    dfrow = tdf.select(
+        "__k",
+        *[F.col(f"`{t}`").alias(f"__df_{i}") for i, t in enumerate(terms)],
+    )
+    dims = stats.join(F.broadcast(dfrow), "__k", "left")
 
     def _eq(term):
         # 1-arg lambda factory (a 2-arg lambda would become Spark's
@@ -63,14 +76,16 @@ def bm25_scores(
         return lambda x: x == term
 
     score = F.lit(0.0)
-    for t in terms:
-        dfq = df_map.get(t, 0)
-        idf = math.log((n_docs - dfq + 0.5) / (dfq + 0.5) + 1.0)
+    for i, t in enumerate(terms):
+        dfq = F.coalesce(F.col(f"__df_{i}"), F.lit(0)).cast("double")
+        idf = F.log((F.col("__n") - dfq + 0.5) / (dfq + 0.5) + 1.0)
         tf = F.size(F.filter("__toks", _eq(t))).cast("double")
-        score = score + F.lit(idf) * tf * (k1 + 1.0) / (
-            tf + k1 * (1.0 - b + b * F.col("__dl") / F.lit(float(avgdl)))
+        score = score + idf * tf * (k1 + 1.0) / (
+            tf + k1 * (1.0 - b + b * F.col("__dl") / F.col("__avgdl"))
         )
-    return base.select(F.col(id_col), F.round(score, 6).alias("bm25"))
+    return base.crossJoin(F.broadcast(dims)).select(
+        F.col(id_col), F.round(score, 6).alias("bm25")
+    )
 
 
 def content_relevance_filter(
