@@ -104,6 +104,14 @@ class CrawlConfig:
     # scoring/filtering: url Column -> Column
     scorer: Optional[Callable] = None
     url_filter: Optional[Callable] = None
+    # contextual link scoring (link_preview.py:380-390 semantics): when
+    # set, discovered candidates are head-peeked (via the fetcher's
+    # corpus table when it has one) and prioritized by the reference's
+    # combine — 0.7*intrinsic + 0.3*min(10*bm25_head_relevance, 10),
+    # clamped to [0, 10]. Candidates whose head cannot be peeked fall
+    # back to clamp(intrinsic), like links without head_data. Takes
+    # precedence over `scorer`.
+    link_query: Optional[list[str]] = None
     shuffle_partitions: Optional[int] = None
     # per-URL config routing (async_dispatcher.py:101-125): list of
     # config dicts with optional url_matcher globs; first match wins,
@@ -611,6 +619,53 @@ class CrawlEngine:
         return crawled
 
     # ------------------------------------------------------------------
+    def _contextual_score(self, cands: DataFrame) -> DataFrame:
+        """Head-aware candidate priority (link_preview.py:380-390 +
+        async_url_seeder BM25 scoring): intrinsic anchor quality from
+        the winning discovery's (text, url, title), contextual relevance
+        from a HEAD PEEK of the candidate target — parse its head, build
+        the text context, BM25 against cfg.link_query over exactly this
+        round's peeked set — combined 0.7/0.3 and clamped to [0, 10].
+
+        Scale shape: the peek joins the corpus AGAINST THIS ROUND'S
+        candidates (left-semi) before any head parsing, so per-round
+        work is O(candidates), not O(corpus); BM25 is plan-only (no
+        driver jobs, ops/bm25.py) so this whole method stays pure plan
+        construction. Fetchers without a corpus table (live HTTP) yield
+        null contextual -> clamp(intrinsic), the reference's behavior
+        for links without head_data."""
+        from crawl4ai_spark.extraction.headparse import head_relevance_scores
+        from crawl4ai_spark.functions.linkscore import (
+            link_intrinsic_score,
+            total_link_score,
+        )
+
+        intr = link_intrinsic_score(
+            F.col("ltext"), F.col("url_norm"), F.col("ltitle")
+        )
+        corpus = getattr(self.fetcher, "corpus", None)
+        if corpus is not None:
+            peek = corpus.select(
+                F.col("__c_url").alias("url_norm"), "html"
+            ).join(cands.select("url_norm"), "url_norm", "left_semi")
+            rel = head_relevance_scores(
+                peek, self.cfg.link_query, url_col="url_norm"
+            )
+            cands = cands.join(
+                rel.select(F.col("url").alias("url_norm"),
+                           F.col("relevance").alias("__ctx")),
+                "url_norm", "left",
+            )
+        else:
+            cands = cands.withColumn("__ctx", F.lit(None).cast("double"))
+        score = F.when(
+            F.col("__ctx").isNotNull(),
+            total_link_score(intr, F.col("__ctx"), True, True),
+        ).otherwise(total_link_score(intr, None, True, False))
+        return cands.withColumn("score", score.cast("double")).drop(
+            "__ctx", "ltext", "ltitle"
+        )
+
     def _discover(self, round_df: DataFrame, crawled: int, rnd: int = 0) -> DataFrame | None:
         """link_discovery (bfs_strategy.py:68-140) as DataFrame ops.
         Pure plan construction — no jobs, no side effects; the caller's
@@ -634,9 +689,13 @@ class CrawlEngine:
         )
         if not cfg.include_external:
             links = links.where(F.col("l.internal"))
-        cands = links.select(
-            F.col("l.url_norm").alias("url_norm"), "depth", "parent_url"
-        ).where(F.col("url_norm").isNotNull())
+        link_cols = [F.col("l.url_norm").alias("url_norm"), "depth", "parent_url"]
+        if cfg.link_query:
+            # carry the winning discovery's anchor attributes — the
+            # intrinsic half of the contextual priority needs them
+            link_cols += [F.col("l.text").alias("ltext"),
+                          F.col("l.title").alias("ltitle")]
+        cands = links.select(*link_cols).where(F.col("url_norm").isNotNull())
 
         # URL validity (bfs_strategy.py:46-61): scheme + dotted host, native
         cands = cands.where(
@@ -649,16 +708,23 @@ class CrawlEngine:
         # min(depth, parent_url) as a PAIR (SURVEY §7.4) — independent
         # mins could pair min-depth with a parent from a deeper
         # discoverer in mixed-depth (best-first) rounds
-        cands = (
-            cands.groupBy("url_norm")
-            .agg(F.min(F.struct("depth", "parent_url")).alias("dp"))
-            .select("url_norm", F.col("dp.depth").alias("depth"),
-                    F.col("dp.parent_url").alias("parent_url"))
+        struct_cols = ["depth", "parent_url"]
+        if cfg.link_query:
+            struct_cols += ["ltext", "ltitle"]
+        agg = cands.groupBy("url_norm").agg(
+            F.min(F.struct(*struct_cols)).alias("dp")
+        )
+        cands = agg.select(
+            "url_norm", *[F.col(f"dp.{c}").alias(c) for c in struct_cols]
         )
 
-        # score + threshold (bfs_strategy.py:112-119)
-        score = cfg.scorer(F.col("url_norm")) if cfg.scorer else F.lit(0.0)
-        cands = cands.withColumn("score", score.cast("double"))
+        # score + threshold (bfs_strategy.py:112-119); a configured
+        # link_query switches to the reference's contextual priority
+        if cfg.link_query:
+            cands = self._contextual_score(cands)
+        else:
+            score = cfg.scorer(F.col("url_norm")) if cfg.scorer else F.lit(0.0)
+            cands = cands.withColumn("score", score.cast("double"))
         if cfg.score_threshold != float("-inf"):
             cands = cands.where(F.col("score") >= cfg.score_threshold)
 

@@ -1457,8 +1457,8 @@ def flagship(spark: SparkSession) -> DataFrame:
 _WINDOW = [
     # crawl engine
     "crawl_bfs", "crawl_spans", "crawl_links", "crawl_politeness",
-    "crawl_robots", "crawl_bestfirst", "crawl_citations",
-    "rate_limiter_fold", "seed_pipeline", "config_routing", "head_relevance",
+    "crawl_robots", "crawl_bestfirst", "crawl_citations", "crawl_contextual",
+    "rate_limiter_fold", "seed_pipeline", "config_routing",
     # URL functions / filters / scorers
     "url_canonicalize", "url_base_domain", "url_scores", "url_filters",
     "url_seo", "url_domain_authority", "filter_stats", "link_scores",
@@ -1487,7 +1487,7 @@ _WINDOW = [
 ]
 
 _TAIL = [
-    "head_parse", "tpch_q1_pricing", "events_topk", "jsoncss_nested",
+    "head_relevance", "head_parse", "tpch_q1_pricing", "events_topk", "jsoncss_nested",
     "multimodal_resize_plan", "adaptive_coverage", "dedup_ngram_jaccard",
     "embedding_neardup", "chunks_sliding", "chunks_overlap", "chunks_regex",
     "chunks_sentences", "regex_email", "url_canonicalize_ext",
@@ -1548,6 +1548,41 @@ def bm25_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_scores(docs, _BM25_TERMS)
 
 
+def _intrinsic_raw_sql(lt: str = "lt", url: str = "url", title: str = "title",
+                       cls: str = "cls", rel: str = "rel") -> str:
+    """link_intrinsic_score (utils.py:3143-3255) as a SQL expression
+    over the named columns — the UNclamped raw sum (callers clamp)."""
+    return f"""0.0
+    + CASE WHEN length(trim({title})) > 3 THEN 1.0 ELSE 0.0 END
+    + CASE WHEN contains(lower({cls}), 'nav') OR contains(lower({cls}), 'menu')
+             OR contains(lower({cls}), 'primary') OR contains(lower({cls}), 'main')
+             OR contains(lower({cls}), 'important') THEN 1.5 ELSE 0.0 END
+    - CASE WHEN contains(lower({cls}), 'ad') OR contains(lower({cls}), 'sponsor')
+             OR contains(lower({cls}), 'track') OR contains(lower({cls}), 'promo')
+             OR contains(lower({cls}), 'banner') THEN 1.0 ELSE 0.0 END
+    + CASE WHEN contains(lower({rel}), 'canonical') OR contains(lower({rel}), 'next')
+             OR contains(lower({rel}), 'prev') OR contains(lower({rel}), 'chapter') THEN 1.0 ELSE 0.0 END
+    - CASE WHEN contains(lower({rel}), 'nofollow') OR contains(lower({rel}), 'sponsored')
+             OR contains(lower({rel}), 'ugc') THEN 0.5 ELSE 0.0 END
+    + CASE WHEN contains(lower({url}), '/docs/') OR contains(lower({url}), '/api/')
+             OR contains(lower({url}), '/guide/') OR contains(lower({url}), '/tutorial/')
+             OR contains(lower({url}), '/reference/') OR contains(lower({url}), '/manual/') THEN 2.0
+           WHEN contains(lower({url}), '/blog/') OR contains(lower({url}), '/article/')
+             OR contains(lower({url}), '/post/') OR contains(lower({url}), '/news/') THEN 1.0
+           ELSE 0.0 END
+    - CASE WHEN contains(lower({url}), '/admin/') OR contains(lower({url}), '/login/')
+             OR contains(lower({url}), '/cart/') OR contains(lower({url}), '/checkout/')
+             OR contains(lower({url}), '/track/') OR contains(lower({url}), '/click/') THEN 1.5 ELSE 0.0 END
+    + CASE WHEN (length({url}) - length(replace({url}, '/', '')) - 2) <= 2 THEN 1.0
+           WHEN (length({url}) - length(replace({url}, '/', '')) - 2) > 5 THEN -0.5
+           ELSE 0.0 END
+    + CASE WHEN starts_with({url}, 'https://') THEN 0.5 ELSE 0.0 END
+    + CASE WHEN length({lt}) > 3 THEN 1.0 ELSE 0.0 END
+    + CASE WHEN len(list_filter(string_split({lt}, ' '), w -> w != '')) >= 2 THEN 0.5 ELSE 0.0 END
+    + CASE WHEN len(list_filter(string_split({lt}, ' '), w -> w != '')) >= 4 THEN 0.5 ELSE 0.0 END
+    - CASE WHEN lower({lt}) IN ('click here', 'read more', 'more info', 'link', 'here') THEN 1.0 ELSE 0.0 END"""
+
+
 _LINKSCORE_ORACLE = f"""
 WITH docs AS ({_DOCS_I}),
 l AS (
@@ -1562,37 +1597,7 @@ l AS (
   FROM docs
 ),
 s AS (
-  SELECT i, url,
-    0.0
-    + CASE WHEN length(trim(title)) > 3 THEN 1.0 ELSE 0.0 END
-    + CASE WHEN contains(lower(cls), 'nav') OR contains(lower(cls), 'menu')
-             OR contains(lower(cls), 'primary') OR contains(lower(cls), 'main')
-             OR contains(lower(cls), 'important') THEN 1.5 ELSE 0.0 END
-    - CASE WHEN contains(lower(cls), 'ad') OR contains(lower(cls), 'sponsor')
-             OR contains(lower(cls), 'track') OR contains(lower(cls), 'promo')
-             OR contains(lower(cls), 'banner') THEN 1.0 ELSE 0.0 END
-    + CASE WHEN contains(lower(rel), 'canonical') OR contains(lower(rel), 'next')
-             OR contains(lower(rel), 'prev') OR contains(lower(rel), 'chapter') THEN 1.0 ELSE 0.0 END
-    - CASE WHEN contains(lower(rel), 'nofollow') OR contains(lower(rel), 'sponsored')
-             OR contains(lower(rel), 'ugc') THEN 0.5 ELSE 0.0 END
-    + CASE WHEN contains(lower(url), '/docs/') OR contains(lower(url), '/api/')
-             OR contains(lower(url), '/guide/') OR contains(lower(url), '/tutorial/')
-             OR contains(lower(url), '/reference/') OR contains(lower(url), '/manual/') THEN 2.0
-           WHEN contains(lower(url), '/blog/') OR contains(lower(url), '/article/')
-             OR contains(lower(url), '/post/') OR contains(lower(url), '/news/') THEN 1.0
-           ELSE 0.0 END
-    - CASE WHEN contains(lower(url), '/admin/') OR contains(lower(url), '/login/')
-             OR contains(lower(url), '/cart/') OR contains(lower(url), '/checkout/')
-             OR contains(lower(url), '/track/') OR contains(lower(url), '/click/') THEN 1.5 ELSE 0.0 END
-    + CASE WHEN (length(url) - length(replace(url, '/', '')) - 2) <= 2 THEN 1.0
-           WHEN (length(url) - length(replace(url, '/', '')) - 2) > 5 THEN -0.5
-           ELSE 0.0 END
-    + CASE WHEN starts_with(url, 'https://') THEN 0.5 ELSE 0.0 END
-    + CASE WHEN length(lt) > 3 THEN 1.0 ELSE 0.0 END
-    + CASE WHEN len(list_filter(string_split(lt, ' '), w -> w != '')) >= 2 THEN 0.5 ELSE 0.0 END
-    + CASE WHEN len(list_filter(string_split(lt, ' '), w -> w != '')) >= 4 THEN 0.5 ELSE 0.0 END
-    - CASE WHEN lower(lt) IN ('click here', 'read more', 'more info', 'link', 'here') THEN 1.0 ELSE 0.0 END
-    AS raw
+  SELECT i, url, {_intrinsic_raw_sql()} AS raw
   FROM l
 )
 SELECT i AS doc_id,
@@ -1636,6 +1641,116 @@ def link_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             total_link_score(intrinsic, contextual, True, True), 6
         ).alias("total"),
+    )
+
+
+_CTX_DEPTH = 3
+_CTX_TERMS = ["Doc", "src1", "src5"]
+
+
+def _crawl_contextual_oracle() -> str:
+    """BFS crawl with contextual (head-peek BM25) link priority.
+
+    Per round r the engine scores the round's DEDUPED candidate set
+    (pre seen-anti-join): BM25 corpus stats (N, avgdl, df) are computed
+    over exactly that set's head text-contexts (title + description =
+    'Doc {i} src{i%20}', dl=3), then priority = clamp(0.7*intrinsic +
+    0.3*min(10*bm25, 10)).  A URL first discovered in round r records
+    the score computed with round r's stats, so the oracle groups the
+    BM25 aggregation by discovery round. Seeds keep score 0.0
+    (init_from_seed_df)."""
+    terms = sorted(set(_CTX_TERMS))
+    df_cols = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END) AS DOUBLE) AS df_{k}"
+        for k, t in enumerate(terms)
+    )
+    per_term = []
+    for k, t in enumerate(terms):
+        tf = f"CAST(len(list_filter(c.toks, x -> x = '{t}')) AS DOUBLE)"
+        idf = f"ln((s.n - s.df_{k} + 0.5) / (s.df_{k} + 0.5) + 1.0)"
+        per_term.append(
+            f"{idf} * {tf} * 2.2 / ({tf} + 1.2 * (1.0 - 0.75 + 0.75 * c.dl / s.avgdl))"
+        )
+    lt = "('go ' || CAST(b.id AS VARCHAR))"
+    url = _url_sql("b.id")
+    return f"""
+WITH RECURSIVE
+docs AS ({_DOCS_I}),
+cnt AS ({_CNT}),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT i AS src, UNNEST([{", ".join(f"{a}*i+{b}" for a, b in CHILD_FACTORS)}]) AS dst
+    FROM docs
+  ) e, cnt WHERE e.dst < cnt.n
+),
+walk AS (
+  SELECT CAST(0 AS BIGINT) AS id, 0 AS depth
+  UNION
+  SELECT e.dst, w.depth + 1
+  FROM walk w JOIN edges e ON e.src = w.id
+  WHERE w.depth < {_CTX_DEPTH}
+),
+best AS (SELECT id, MIN(depth) AS depth FROM walk GROUP BY id),
+cand AS (
+  SELECT DISTINCT b.depth AS rnd, e.dst AS id
+  FROM best b JOIN edges e ON e.src = b.id
+  WHERE b.depth + 1 <= {_CTX_DEPTH}
+),
+ctx AS (
+  SELECT rnd, id,
+         ['Doc', CAST(id AS VARCHAR), 'src' || CAST(id % 20 AS VARCHAR)] AS toks,
+         3.0 AS dl
+  FROM cand
+),
+stats AS (
+  SELECT rnd, CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl,
+         {df_cols}
+  FROM ctx GROUP BY rnd
+),
+rel AS (
+  SELECT c.rnd, c.id, ROUND(0.0 + {' + '.join(per_term)}, 6) AS relevance
+  FROM ctx c JOIN stats s ON s.rnd = c.rnd
+),
+intr AS (
+  SELECT b.id, b.depth,
+         greatest(0.0, least({_intrinsic_raw_sql(lt=lt, url=url, title="''", cls="''", rel="''")}, 10.0)) AS iscore
+  FROM best b
+)
+SELECT {_url_sql('i.id')} AS url_norm, CAST(i.depth AS INT) AS depth,
+  CAST(CASE WHEN i.depth = 0 THEN 0.0
+       ELSE ROUND(greatest(0.0, least(i.iscore * 0.7
+            + least(r.relevance * 10.0, 10.0) * 0.3, 10.0)), 6)
+  END AS DOUBLE) AS score
+FROM intr i
+LEFT JOIN rel r ON r.id = i.id AND r.rnd = i.depth - 1
+"""
+
+
+@register("crawl_contextual", _crawl_contextual_oracle())
+def crawl_contextual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full engine loop with contextual head scoring wired into frontier
+    priority (link_preview.py:380-390 + async_url_seeder BM25): each
+    round head-peeks the candidate set, BM25-scores the head text
+    context against cfg.link_query, and combines 0.7*intrinsic +
+    0.3*min(10*relevance, 10) into the candidate's priority score."""
+    from crawl4ai_spark.engine.fetch import CorpusFetcher
+    from crawl4ai_spark.engine.frontier import CrawlConfig, CrawlEngine
+    from crawl4ai_spark.engine.tables import Warehouse
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = build_corpus(docs).cache()
+    wh = Warehouse(tempfile.mkdtemp(prefix="c4as_ctx_"))
+    eng = CrawlEngine(
+        spark, wh, CorpusFetcher(corpus),
+        CrawlConfig(max_depth=_CTX_DEPTH, mode="bfs", use_bloom=True,
+                    link_query=_CTX_TERMS),
+    )
+    eng.run([seed_url()])
+    pages = eng.t_pages.read(spark)
+    return pages.select(
+        "url_norm",
+        F.col("depth").cast("int").alias("depth"),
+        F.round(F.col("score"), 6).cast("double").alias("score"),
     )
 
 
