@@ -46,6 +46,7 @@ robots/host budgets broadcast; AQE handles residual skew.
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass
 from typing import Callable, Optional
@@ -101,6 +102,15 @@ class CrawlConfig:
     cap_exact_limit: int = 1_000_000
     # loop control
     max_rounds: int = 1000
+    # AQE re-plans every exchange as its own driver-side query stage —
+    # valuable on production-size rounds (runtime broadcast, skew-join
+    # splitting over multi-GB shuffles) but pure fixed overhead on small
+    # ones, where each of the round's ~10 exchanges adds a re-plan pause
+    # and an extra job boundary. Rounds whose frontier is below this row
+    # count run with AQE off; larger rounds (and every other query on
+    # the session) keep the session's AQE setting. Sub-million-row
+    # shuffles are KBs-to-MBs per partition — nothing AQE can improve.
+    aqe_small_round_rows: int = 500_000
     # scoring/filtering: url Column -> Column
     scorer: Optional[Callable] = None
     url_filter: Optional[Callable] = None
@@ -199,24 +209,28 @@ class CrawlEngine:
 
     def _frontier_row(self, df: DataFrame) -> DataFrame:
         """Project a candidate df (url_norm, depth, parent_url, score)
-        into the full frontier schema."""
-        return (
-            df.withColumn("url_hash", url_hash(F.col("url_norm")))
-            .withColumn("host", url_host(F.col("url_norm")))
-            .withColumn(
-                "path", F.coalesce(F.parse_url(F.col("url_norm"), F.lit("PATH")), F.lit("/"))
-            )
-            .withColumn(
-                "priority", F.col("depth").cast("double") + F.col("score")
-            )
-            .withColumn("retry_count", F.coalesce(F.col("retry_count"), F.lit(0)))
-            .withColumn("wait_rounds", F.coalesce(F.col("wait_rounds"), F.lit(0)))
-            .withColumn(
-                "salt",
-                F.pmod(F.xxhash64(F.col("url_norm"), F.lit(7)), F.lit(self.cfg.n_salts)).cast("int"),
-            )
-            .select(*[f for f, _ in FRONTIER_FIELDS])
-        )
+        into the full frontier schema. One select, not a withColumn
+        chain: every PySpark transformation is a py4j call plus an eager
+        analyzer pass over the whole plan (~10-40 ms each on this class
+        of driver), and this projection runs 2-3x per round — fused it
+        costs one pass."""
+        derived = {
+            "url_hash": url_hash(F.col("url_norm")),
+            "host": url_host(F.col("url_norm")),
+            "path": F.coalesce(
+                F.parse_url(F.col("url_norm"), F.lit("PATH")), F.lit("/")
+            ),
+            "priority": F.col("depth").cast("double") + F.col("score"),
+            "retry_count": F.coalesce(F.col("retry_count"), F.lit(0)),
+            "wait_rounds": F.coalesce(F.col("wait_rounds"), F.lit(0)),
+            "salt": F.pmod(
+                F.xxhash64(F.col("url_norm"), F.lit(7)), F.lit(self.cfg.n_salts)
+            ).cast("int"),
+        }
+        return df.select(*[
+            derived[f].alias(f) if f in derived else F.col(f)
+            for f, _ in FRONTIER_FIELDS
+        ])
 
     def init_from_seeds(self, seeds: list[str]) -> None:
         """Small seed lists (the reference's entry shape)."""
@@ -250,11 +264,13 @@ class CrawlEngine:
             # frontier rows are all selected by the winners join and
             # per-host budgets overshoot in round 0
             .dropDuplicates(["url_norm"])
-            .withColumn("depth", F.lit(0))
-            .withColumn("parent_url", F.lit(None).cast("string"))
-            .withColumn("score", F.lit(0.0))
-            .withColumn("retry_count", F.lit(0))
-            .withColumn("wait_rounds", F.lit(0))
+            .withColumns({
+                "depth": F.lit(0),
+                "parent_url": F.lit(None).cast("string"),
+                "score": F.lit(0.0),
+                "retry_count": F.lit(0),
+                "wait_rounds": F.lit(0),
+            })
         )
         # re-spread after the dedup shuffle: AQE would coalesce the
         # (byte-small, row-expensive) frontier to one partition, making
@@ -311,27 +327,40 @@ class CrawlEngine:
         cfg = self.cfg
         start_round, crawled = self.resume_or_init(seeds, seed_df)
         stats = {"rounds": 0, "pages_crawled": crawled}
-        for rnd in range(start_round, cfg.max_rounds):
-            if cfg.max_pages is not None and crawled >= cfg.max_pages:
-                break
-            if self._frontier_count == 0:
-                break
-            frontier = self.t_frontier.read(self.spark)
-            if frontier is None:
-                break
-            if self._frontier_count is None and frontier.isEmpty():
-                break  # only resumed-from-old-manifest paths pay this job
-            crawled = self._run_round(rnd, frontier, crawled)
-            stats["rounds"] += 1
-            stats["pages_crawled"] = crawled
-            if cfg.adaptive is not None:
-                every = cfg.adaptive.get("check_every", 1)
-                if (stats["rounds"] % every) == 0:
-                    m = self._adaptive_metrics(rnd)
-                    stats["adaptive"] = m
-                    if self._adaptive_should_stop(m):
-                        stats["stopped_by"] = "adaptive_confidence"
-                        break
+        aqe_key = "spark.sql.adaptive.enabled"
+        orig_aqe = self.spark.conf.get(aqe_key, "true")
+        try:
+            for rnd in range(start_round, cfg.max_rounds):
+                if cfg.max_pages is not None and crawled >= cfg.max_pages:
+                    break
+                if self._frontier_count == 0:
+                    break
+                frontier = self.t_frontier.read(self.spark)
+                if frontier is None:
+                    break
+                if self._frontier_count is None and frontier.isEmpty():
+                    break  # only resumed-from-old-manifest paths pay this job
+                small = (
+                    self._frontier_count is not None
+                    and self._frontier_count < cfg.aqe_small_round_rows
+                )
+                want = "false" if small else orig_aqe
+                if self.spark.conf.get(aqe_key) != want:
+                    self.spark.conf.set(aqe_key, want)
+                crawled = self._run_round(rnd, frontier, crawled)
+                stats["rounds"] += 1
+                stats["pages_crawled"] = crawled
+                if cfg.adaptive is not None:
+                    every = cfg.adaptive.get("check_every", 1)
+                    if (stats["rounds"] % every) == 0:
+                        m = self._adaptive_metrics(rnd)
+                        stats["adaptive"] = m
+                        if self._adaptive_should_stop(m):
+                            stats["stopped_by"] = "adaptive_confidence"
+                            break
+        finally:
+            # the session is shared with non-engine queries — restore
+            self.spark.conf.set(aqe_key, orig_aqe)
         return stats
 
     def _adaptive_metrics(self, rnd: int) -> dict:
@@ -373,6 +402,18 @@ class CrawlEngine:
     def _run_round(self, rnd: int, frontier: DataFrame, crawled_before: int) -> int:
         cfg = self.cfg
         t0 = time.monotonic()
+        # phase tracing (C4AS_TRACE=1): driver-side wall per round phase,
+        # for separating job time from plan-compile/commit gaps
+        if os.environ.get("C4AS_TRACE") == "1":
+            _last = [t0]
+
+            def _tr(label: str) -> None:
+                now = time.monotonic()
+                print(f"TRACE r{rnd} {label} {now - _last[0]:.2f}s", flush=True)
+                _last[0] = now
+        else:
+            def _tr(label: str) -> None:
+                pass
         frontier = frontier.select(*[f for f, _ in FRONTIER_FIELDS])
         # Parallelism floor for the Python-heavy fetch+extract chain.
         # Spark sizes scan partitions by BYTES, but a frontier row costs
@@ -451,21 +492,23 @@ class CrawlEngine:
 
         round_pages = pages
         if denied is not None:
-            denied_pages = (
-                denied.select(*fetch_cols)
-                .withColumn("status_code", F.lit(403))
-                .withColumn("fetch_ms", F.lit(0))
-                .withColumn("success", F.lit(False))
-                .withColumn("spans", F.lit(None).cast(pages.schema["spans"].dataType))
-                .withColumn("markdown", F.lit(None).cast("string"))
-                .withColumn("markdown_citations", F.lit(None).cast("string"))
-                .withColumn("references_md", F.lit(None).cast("string"))
-                .withColumn("links", F.lit(None).cast(pages.schema["links"].dataType))
-                .withColumn("media", F.lit(None).cast(pages.schema["media"].dataType))
-                .withColumn("tables", F.lit(None).cast(pages.schema["tables"].dataType))
-                .withColumn("metadata", F.lit(None).cast(pages.schema["metadata"].dataType))
-            )
-            round_pages = pages.unionByName(denied_pages.select(*pages.columns))
+            # one fused select, not a withColumn chain (each chained op
+            # is a separate eager analyzer pass on the driver)
+            denied_vals = {
+                "status_code": F.lit(403),
+                "fetch_ms": F.lit(0),
+                "success": F.lit(False),
+                "markdown": F.lit(None).cast("string"),
+                "markdown_citations": F.lit(None).cast("string"),
+                "references_md": F.lit(None).cast("string"),
+            }
+            for c in ("spans", "links", "media", "tables", "metadata"):
+                denied_vals[c] = F.lit(None).cast(pages.schema[c].dataType)
+            denied_pages = denied.select(*fetch_cols).select(*[
+                denied_vals[c].alias(c) if c in denied_vals else F.col(c)
+                for c in pages.columns
+            ])
+            round_pages = pages.unionByName(denied_pages)
         round_pages = round_pages.withColumn("round", F.lit(rnd))
 
         # counts + latency p50 ride the write via Observation — the old
@@ -477,7 +520,9 @@ class CrawlEngine:
             F.sum(F.when(~F.col("success"), 1).otherwise(0)).alias("n_failed"),
             F.expr("percentile_approx(fetch_ms, 0.5)").alias("p50"),
         )
+        _tr("plan_job1")
         self.t_pages.append(round_pages)
+        _tr("job1_pages_write")
         pm = obs_pages.get
         n_total = int(pm["n"] or 0)
         n_failed = int(pm["n_failed"] or 0)
@@ -536,7 +581,9 @@ class CrawlEngine:
             F.sum(F.when(F.col("tag").isin("n", "d"), 1).otherwise(0)).alias("n_frontier"),
         )
         state_dir = self.wh.state_dir(rnd)
+        _tr("plan_job2")
         state.write.partitionBy("tag").mode("overwrite").parquet(state_dir)
+        _tr("job2_state_write")
         sm = obs_state.get
         n_new = int(sm["n_new"] or 0)
         self._frontier_count = int(sm["n_frontier"] or 0)
@@ -555,9 +602,17 @@ class CrawlEngine:
         for df in self._scratch:
             df.unpersist()
         self._scratch.clear()
+        _tr("adopt_unpersist")
 
         # -- bloom maintenance (amortized; exactness never depends on it) --
-        if cfg.use_bloom:
+        # The post-adoption seen read only happens on rounds that will
+        # actually build/sync — a read costs real driver time (listing +
+        # plan), and most rounds need none.
+        if cfg.use_bloom and (
+            (not self._bloom_built and self._seen_count >= cfg.bloom_min_seen)
+            or (self._bloom_built
+                and rnd - self._bloom_synced_round >= cfg.bloom_sync_rounds)
+        ):
             seen_now = self.t_seen.read(self.spark)
             if not self._bloom_built and self._seen_count >= cfg.bloom_min_seen:
                 if seen_now is not None:
@@ -579,6 +634,7 @@ class CrawlEngine:
                     delta = seen_now.where(F.col("round") > self._bloom_synced_round)
                     self.bloom.add_hashes(self.spark, delta.select("url_hash"))
                 self._bloom_synced_round = rnd
+        _tr("bloom")
 
         # -- metrics (driver-side pyarrow append — no Spark job) ------------
         wall = time.monotonic() - t0
@@ -616,6 +672,7 @@ class CrawlEngine:
                 },
             }
         )
+        _tr("metrics_commit")
         return crawled
 
     # ------------------------------------------------------------------
@@ -695,14 +752,15 @@ class CrawlEngine:
             # intrinsic half of the contextual priority needs them
             link_cols += [F.col("l.text").alias("ltext"),
                           F.col("l.title").alias("ltitle")]
-        cands = links.select(*link_cols).where(F.col("url_norm").isNotNull())
-
-        # URL validity (bfs_strategy.py:46-61): scheme + dotted host, native
-        cands = cands.where(
-            F.col("url_norm").rlike(r"^https?://[^/]*\.")
+        # null guard + URL validity (bfs_strategy.py:46-61, scheme +
+        # dotted host) + user filter, fused into one predicate (one
+        # driver-side analyzer pass instead of three)
+        valid = F.col("url_norm").isNotNull() & F.col("url_norm").rlike(
+            r"^https?://[^/]*\."
         )
         if cfg.url_filter is not None:
-            cands = cands.where(cfg.url_filter(F.col("url_norm")))
+            valid = valid & cfg.url_filter(F.col("url_norm"))
+        cands = links.select(*link_cols).where(valid)
 
         # intra-batch first-wins parent: deterministic refinement
         # min(depth, parent_url) as a PAIR (SURVEY §7.4) — independent
@@ -715,7 +773,9 @@ class CrawlEngine:
             F.min(F.struct(*struct_cols)).alias("dp")
         )
         cands = agg.select(
-            "url_norm", *[F.col(f"dp.{c}").alias(c) for c in struct_cols]
+            "url_norm",
+            url_hash(F.col("url_norm")).alias("url_hash"),
+            *[F.col(f"dp.{c}").alias(c) for c in struct_cols],
         )
 
         # score + threshold (bfs_strategy.py:112-119); a configured
@@ -733,7 +793,7 @@ class CrawlEngine:
         # SMALL unsynced-rounds delta (bloom lags by <= bloom_sync_rounds
         # rounds by design) — so dedup is exact every round while shard
         # writes amortize.
-        cands = cands.withColumn("url_hash", url_hash(F.col("url_norm")))
+        # (url_hash already computed in the dedup agg's select above)
         seen = self.t_seen.read(self.spark)
         if cfg.use_bloom and self._bloom_built and seen is not None:
             probed = self.bloom.probe(self.spark, cands)
@@ -795,8 +855,8 @@ class CrawlEngine:
                             tied = tied.where(F.col("url_hash") <= cut)
                         cands = above.unionByName(tied)
 
-        return cands.withColumn("retry_count", F.lit(0)).withColumn(
-            "wait_rounds", F.lit(0)
+        return cands.withColumns(
+            {"retry_count": F.lit(0), "wait_rounds": F.lit(0)}
         )
 
 

@@ -51,8 +51,8 @@ def select_fetch_batch(
         hs = host_state.select("host", "budget", "fail_count")
         f = f.join(F.broadcast(hs), "host", "left")
     else:
-        f = f.withColumn("budget", F.lit(None).cast("int")).withColumn(
-            "fail_count", F.lit(0)
+        f = f.withColumns(
+            {"budget": F.lit(None).cast("int"), "fail_count": F.lit(0)}
         )
 
     # fairness: long-waiting rows jump the queue (async_dispatcher.py:217-226)
@@ -74,8 +74,8 @@ def select_fetch_batch(
     key = "url_hash" if "url_hash" in frontier.columns else "url_norm"
 
     if base_budget is None:
-        f = f.withColumn("budget", F.lit(None).cast("int")).withColumn(
-            "selected", F.lit(True)
+        f = f.withColumns(
+            {"budget": F.lit(None).cast("int"), "selected": F.lit(True)}
         )
     else:
         f = f.withColumn("budget", F.coalesce(F.col("budget"), F.lit(base_budget)))

@@ -31,6 +31,14 @@ class SnapshotTable:
     def __init__(self, path: str):
         self.path = path
         os.makedirs(path, exist_ok=True)
+        # Schema cache: an engine table's schema is fixed for its
+        # lifetime (STATE_FIELDS / the pages schema), but a bare
+        # spark.read.parquet re-reads parquet footers on EVERY read to
+        # infer it (~100-300 ms of driver time per call — the engine
+        # reads tables several times per round, so this is a real slice
+        # of the per-round serial floor). First read infers and caches;
+        # later reads pass the schema and skip footer I/O entirely.
+        self._schema = None
 
     # -- manifest ----------------------------------------------------------
     @property
@@ -67,7 +75,12 @@ class SnapshotTable:
         m = self._read_manifest()
         if not m["data"]:
             return None
-        return spark.read.parquet(*[os.path.join(self.path, d) for d in m["data"]])
+        dirs = [os.path.join(self.path, d) for d in m["data"]]
+        if self._schema is not None:
+            return spark.read.schema(self._schema).parquet(*dirs)
+        df = spark.read.parquet(*dirs)
+        self._schema = df.schema
+        return df
 
     def overwrite(self, df: DataFrame) -> int:
         """Replace table contents (new snapshot). Returns new version.
