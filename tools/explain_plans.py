@@ -133,6 +133,54 @@ def main():
         fmt(lsh_candidate_pairs(d, num_hashes=8, bands=4, shingle_n=2)),
     ))
 
+    # 7. incremental adaptive-state maintenance (O(delta), not O(corpus))
+    import tempfile
+
+    from crawl4ai_spark.engine.adaptive_state import AdaptiveState
+    from crawl4ai_spark.engine.tables import Warehouse
+    from crawl4ai_spark.ops.text import tokens as _tokens
+
+    wh = Warehouse(tempfile.mkdtemp(prefix="c4as_plans_"))
+    st = AdaptiveState(wh)
+    base = d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.xxhash64("text").alias("url_hash"), "text",
+        F.lit(0).alias("round"),
+    ).limit(200)
+    st.update(spark, base)  # seed the state tables
+    delta = d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.xxhash64("doc_id").alias("url_hash"), "text",
+        F.lit(1).alias("round"),
+    ).limit(50)
+    # the term-merge plan the per-check update executes: delta tokenize +
+    # agg, full-outer merge against the STATE table (never the corpus)
+    deltag = (
+        delta.join(st.t_kb.read(spark), "url_hash", "left_anti")
+        .select("doc_id", "round", F.explode(_tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf_d"),
+             F.countDistinct("doc_id").alias("df_d"),
+             F.min("round").alias("r0_d"))
+    )
+    merged = st.t_terms.read(spark).join(deltag, "term", "full_outer").select(
+        "term",
+        F.coalesce("first_round", "r0_d").alias("first_round"),
+        (F.coalesce("tf", F.lit(0)) + F.coalesce("tf_d", F.lit(0))).alias("tf"),
+        (F.coalesce("df", F.lit(0)) + F.coalesce("df_d", F.lit(0))).alias("df"),
+    )
+    sections.append((
+        "Adaptive stop-check: incremental term-state merge (O(window delta))",
+        "The confidence check must not grow with crawl size: only the check "
+        "window's pages are tokenized (the one Generate/explode feeds from "
+        "the small delta scan, anti-joined against the 8-byte-keyed a_kb "
+        "table), and the merge is a full-outer join of per-window term "
+        "stats against the a_terms STATE table — the pages corpus appears "
+        "nowhere in this plan. Coverage/saturation then read a_terms/"
+        "a_rounds alone with an isin() pushdown on the query terms.",
+        fmt(merged),
+    ))
+
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write(
