@@ -1487,6 +1487,7 @@ _WINDOW = [
 ]
 
 _TAIL = [
+    "crawl_dfs",
     "head_relevance", "head_parse", "tpch_q1_pricing", "events_topk", "jsoncss_nested",
     "multimodal_resize_plan", "adaptive_coverage", "dedup_ngram_jaccard",
     "embedding_neardup", "chunks_sliding", "chunks_overlap", "chunks_regex",
@@ -1751,6 +1752,90 @@ def crawl_contextual(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url_norm",
         F.col("depth").cast("int").alias("depth"),
         F.round(F.col("score"), 6).cast("double").alias("score"),
+    )
+
+
+_DFS_DEPTH = 8
+_DFS_PAGES = 20
+
+
+def _crawl_dfs_oracle() -> str:
+    """Exact LIFO-stack simulation of the DFS compat mode
+    (dfs_strategy.py:15-66 intended semantics — see engine/dfs.py): a
+    recursive CTE carries (stack, visited, pages) as LIST state, pops
+    one entry per iteration, and pushes the popped page's undiscovered
+    children in reverse page order. `rnd` pins the exact DFS preorder
+    position, so the compare is order-sensitive, not just set-equal."""
+    kids = ", ".join(f"{a}*t.top.id+{b}" for a, b in CHILD_FACTORS)
+    return f"""
+WITH RECURSIVE
+cnt AS ({_CNT}),
+walk AS (
+  SELECT 0 AS step,
+         [{{'id': CAST(0 AS BIGINT), 'parent': CAST(NULL AS BIGINT), 'depth': 0}}] AS stack,
+         CAST([] AS BIGINT[]) AS visited,
+         CAST([] AS STRUCT(id BIGINT, parent BIGINT, depth INTEGER)[]) AS pages,
+         0 AS crawled
+  FROM cnt
+  UNION ALL
+  SELECT t.step + 1,
+         list_concat(t.rest,
+           list_reverse(list_transform(v.valid,
+             c -> {{'id': c, 'parent': t.top.id, 'depth': t.top.depth + 1}}))),
+         list_concat(t.visited, v.valid),
+         list_append(t.pages, t.top),
+         t.crawled + 1
+  FROM (
+    SELECT w.step, w.visited, w.pages, w.crawled, cnt.n,
+           list_extract(w.stack, len(w.stack)) AS top,
+           list_slice(w.stack, 1, len(w.stack) - 1) AS rest
+    FROM walk w, cnt
+    WHERE len(w.stack) > 0 AND w.crawled < {_DFS_PAGES}
+  ) t,
+  LATERAL (
+    SELECT CASE WHEN t.top.depth + 1 <= {_DFS_DEPTH}
+                 AND ({_DFS_PAGES} - (t.crawled + 1)) > 0
+                THEN list_slice(
+                  list_filter([{kids}],
+                              c -> c < t.n AND NOT list_contains(t.visited, c)),
+                  1, {_DFS_PAGES} - (t.crawled + 1))
+                ELSE CAST([] AS BIGINT[]) END AS valid
+  ) v
+),
+fin AS (SELECT pages FROM walk ORDER BY step DESC LIMIT 1)
+SELECT {_url_sql('pg.id')} AS url_norm,
+       CAST(pg.depth AS INT) AS depth,
+       CASE WHEN pg.parent IS NULL THEN NULL
+            ELSE {_url_sql('pg.parent')} END AS parent_url,
+       CAST(ord - 1 AS INT) AS rnd
+FROM (SELECT UNNEST(pages) AS pg, generate_subscripts(pages, 1) AS ord FROM fin)
+"""
+
+
+@register("crawl_dfs", _crawl_dfs_oracle())
+def crawl_dfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DFS compat mode (engine/dfs.py): exact reference stack traversal
+    — one page per step, discovery-time dedup, reversed LIFO pushes,
+    max_pages truncation — checked against a DuckDB stack simulation
+    INCLUDING the preorder position (`rnd` = step index)."""
+    from crawl4ai_spark.engine.dfs import DFSEngine
+    from crawl4ai_spark.engine.fetch import CorpusFetcher
+    from crawl4ai_spark.engine.tables import Warehouse
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = build_corpus(docs).cache()
+    wh = Warehouse(tempfile.mkdtemp(prefix="c4as_dfs_"))
+    eng = DFSEngine(
+        spark, wh, CorpusFetcher(corpus),
+        max_depth=_DFS_DEPTH, max_pages=_DFS_PAGES,
+    )
+    eng.run(seed_url())
+    pages = eng.t_pages.read(spark)
+    return pages.select(
+        "url_norm",
+        F.col("depth").cast("int").alias("depth"),
+        "parent_url",
+        F.col("round").cast("int").alias("rnd"),
     )
 
 

@@ -88,3 +88,46 @@ def reference_bfs(
                 depths[link_norm] = next_depth
         current = nxt
     return log, visited
+
+
+def reference_dfs(
+    web: dict,
+    seed: str,
+    max_depth: int,
+    max_pages: float = math.inf,
+    include_external: bool = False,
+):
+    """DFS intended semantics (dfs_strategy.py:15-66 with the inherited
+    link_discovery's DISCOVERY-time visited.add — see engine/dfs.py's
+    docstring for why the literal pop-time re-check is vacuous):
+    returns crawl_log rows (url, depth, parent, success) in exact DFS
+    preorder."""
+    visited: set[str] = set()
+    stack = [(seed, None, 0)]
+    log = []
+    crawled = 0
+    while stack and crawled < max_pages:
+        url, parent, depth = stack.pop()
+        page = web.get(url)
+        success = page is not None and page["status"] == 200
+        log.append((url, depth, parent, success))
+        if not success:
+            continue
+        crawled += 1
+        next_depth = depth + 1
+        cap = max_pages - crawled
+        if next_depth > max_depth or cap <= 0:
+            continue
+        valid = []
+        for link_norm, internal in page["links"]:
+            if link_norm is None or (not internal and not include_external):
+                continue
+            if link_norm in visited:
+                continue
+            visited.add(link_norm)
+            valid.append(link_norm)
+        if len(valid) > cap:
+            valid = valid[: int(cap)]
+        for link_norm in reversed(valid):
+            stack.append((link_norm, url, next_depth))
+    return log, visited
