@@ -53,6 +53,15 @@ _VOID_MEDIA = {"img"}
 class _Walker(HTMLParser):
     def __init__(self, base_url: str):
         super().__init__(convert_charrefs=True)
+        # Parallel mini-DOM for the image ancestor-desc walk
+        # (content_scraping_strategy.py:376-392): driven by THIS parse's
+        # callbacks, so the page is tokenized once instead of re-parsed
+        # by _closest_ancestor_descs (which was ~30% of extract_page on
+        # image-bearing pages). Same builder class as jsoncss.parse_dom,
+        # same convert_charrefs, same event stream -> identical tree.
+        from crawl4ai_spark.extraction.jsoncss import _TreeBuilder
+
+        self._tree = _TreeBuilder()
         self.base = base_url
         self.segments: list[tuple] = []  # ("text", str) | (kind, alt, src, desc)
         self.links: list[dict] = []
@@ -93,6 +102,7 @@ class _Walker(HTMLParser):
 
     # -- tag handling -----------------------------------------------------
     def handle_starttag(self, tag, attrs):
+        self._tree.handle_starttag(tag, attrs)
         a = dict(attrs)
         if tag in ("script", "style", "noscript", "template"):
             self._skip_depth += 1
@@ -199,9 +209,14 @@ class _Walker(HTMLParser):
 
     def handle_startendtag(self, tag, attrs):
         if tag in ("img", "br", "hr", "base", "meta", "source"):
+            # handle_starttag forwards to the tree (all six are _VOID,
+            # so starttag == startendtag for the builder)
             self.handle_starttag(tag, attrs)
+        else:
+            self._tree.handle_startendtag(tag, attrs)
 
     def handle_endtag(self, tag):
+        self._tree.handle_endtag(tag)
         if tag in ("script", "style", "noscript", "template"):
             self._skip_depth = max(0, self._skip_depth - 1)
             return
@@ -280,6 +295,7 @@ class _Walker(HTMLParser):
             return
 
     def handle_data(self, data):
+        self._tree.handle_data(data)
         if self._skip_depth:
             return
         if self._pre_depth:
@@ -413,14 +429,20 @@ def _clean_block(s: str) -> str:
 
 def _closest_ancestor_descs(html: str, min_words: int = 1) -> list[str | None]:
     """find_closest_parent_with_useful_text
-    (content_scraping_strategy.py:376-392): for each kept <img>, in
-    document order, the nearest ancestor that has direct text AND whose
-    subtree text reaches min_words yields its subtree text. Needs a
-    tree, so it runs as a second stdlib parse — only invoked for pages
-    whose streaming pass produced images without a desc."""
+    (content_scraping_strategy.py:376-392) via a standalone re-parse.
+    The hot path uses _ancestor_descs_from_root over the tree the
+    _Walker pass already built (same builder, same events — equivalence
+    pinned by tests); this re-parsing form remains as the fallback for
+    pages whose parse raised mid-stream."""
     from crawl4ai_spark.extraction.jsoncss import parse_dom
 
-    root = parse_dom(html)
+    return _ancestor_descs_from_root(parse_dom(html), min_words)
+
+
+def _ancestor_descs_from_root(root, min_words: int = 1) -> list[str | None]:
+    """For each kept <img>, in document order, the nearest ancestor that
+    has direct text AND whose subtree text reaches min_words yields its
+    subtree text."""
     out: list[str | None] = []
 
     def walk(node, ancestors):
@@ -460,19 +482,26 @@ def extract_page(url: str, html: str) -> dict:
       links, media, tables, metadata
     """
     w = _Walker(url)
+    parse_ok = True
     try:
         w.feed(html or "")
         w.close()
     except Exception:
-        pass  # stdlib parser is tolerant; never fail a page on parse
+        parse_ok = False  # stdlib parser is tolerant; never fail a page
     w._flush_text_segment()
 
     # ancestor-walk description fallback for images lacking title/aria
-    # (content_scraping_strategy.py:376-392) — second parse, lazy
+    # (content_scraping_strategy.py:376-392) over the tree this parse
+    # already built; only a mid-stream parse failure (which would leave
+    # the in-pass tree truncated differently from a fresh parse) pays
+    # the standalone re-parse
     imgs = [m for m in w.media if m["type"] == "image"]
     if any(not m["desc"] for m in imgs):
         try:
-            descs = _closest_ancestor_descs(html)
+            if parse_ok:
+                descs = _ancestor_descs_from_root(w._tree.root)
+            else:
+                descs = _closest_ancestor_descs(html)
             if len(descs) == len(imgs):
                 for m, d in zip(imgs, descs):
                     if not m["desc"] and d:
