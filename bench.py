@@ -118,10 +118,20 @@ def main() -> None:
     ]
 
     timings: dict[str, float] = {}
-    mass_s, mass_urls = bench_crawl_mass(spark, sf_dir)
+    samples: dict[str, list[float]] = {}
+    # The two crawl benches run minutes-long on a SHARED host whose
+    # noisy-neighbor bursts routinely inflate a single sample 2-7x
+    # (BENCH.md documents the variance model); two samples with min
+    # reported — and BOTH disclosed in the `samples` field — keeps one
+    # unlucky burst from masquerading as a regression.
+    mass_runs = [bench_crawl_mass(spark, sf_dir) for _ in range(2)]
+    mass_s, mass_urls = min(mass_runs, key=lambda r: r[0])
     timings["crawl_mass_round"] = round(mass_s, 3)
-    crawl_s, crawl_pages = bench_crawl(spark, sf_dir)
+    samples["crawl_mass_round"] = [round(s, 3) for s, _ in mass_runs]
+    crawl_runs = [bench_crawl(spark, sf_dir) for _ in range(2)]
+    crawl_s, crawl_pages = min(crawl_runs, key=lambda r: r[0])
     timings["crawl_bfs_d6"] = round(crawl_s, 3)
+    samples["crawl_bfs_d6"] = [round(s, 3) for s, _ in crawl_runs]
     # the crawl benches cache corpora and leave shuffle/GC residue; a
     # clean cache keeps the per-query timings below independent of them
     spark.catalog.clearCache()
@@ -139,6 +149,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "samples": samples,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "crawl_pages": crawl_pages,
         "crawl_urls_per_sec": round(mass_urls / mass_s, 2) if mass_s else None,
