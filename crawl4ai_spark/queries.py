@@ -1257,6 +1257,61 @@ SELECT q_id, vec_id, cos, rank FROM (
 """
 
 
+def _ivf_oracle(n_cells: int = 8, nprobe: int = 2, dim: int = 64, k: int = 5) -> str:
+    # Centroid component d of cell c: the same md5-derived hash64 as
+    # similarity._ivf_centroid_comps, so both engines compute identical
+    # doubles and the argmin assignment matches exactly.
+    comp = ("((CAST(('0x' || substr(md5('ivf' || CAST(cell AS VARCHAR) || ':' "
+            "|| CAST(d AS VARCHAR)), 1, 15)) AS BIGINT) % 2001) - 1000) / 1000.0")
+    diff = "(CAST(v[j2 + 1] AS DOUBLE) - comps[j2 + 1])"
+    dist = f"list_sum(list_transform(range(0, {dim}), j2 -> {diff} * {diff}))"
+    return f"""
+WITH cen AS (
+  SELECT cell,
+         list_transform(range(0, {dim}), d -> {comp}) AS comps
+  FROM (SELECT UNNEST(range(0, {n_cells})) AS cell)
+),
+base AS (SELECT vec_id, embedding AS v FROM embeddings),
+ad AS (
+  SELECT b.vec_id, b.v, cen.cell, {dist} AS d2
+  FROM base b, cen
+),
+cells AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+    FROM ad
+  ) WHERE rn = 1
+),
+qcells AS (
+  SELECT vec_id AS q_id, v AS qv, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+    FROM ad WHERE vec_id < 5
+  ) WHERE rn <= {nprobe}
+),
+s AS (
+  SELECT q.q_id, c.vec_id,
+         CAST(ROUND({_emb_cos_sql('q.qv', 'c.v')}, 6) AS DOUBLE) AS cos
+  FROM qcells q JOIN cells c USING (cell)
+)
+SELECT q_id, vec_id, cos, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM s
+) WHERE rank <= {k}
+"""
+
+
+@register("ann_ivf_topk", _ivf_oracle())
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: shuffle-free coarse-quantizer assignment (fixed
+    hash-derived centroids, per-row argmin expression) + nprobe-cell
+    probe — the inverted-file scale path next to the sign-LSH one."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return similarity.ivf_topk(emb, queries, k=5, n_cells=8, nprobe=2, dim=64)
+
+
 @register("ann_signlsh_topk", _ann_oracle())
 def ann_signlsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucketed ANN: the 100 TB similarity-search path — the
@@ -1487,7 +1542,7 @@ _WINDOW = [
 ]
 
 _TAIL = [
-    "crawl_dfs",
+    "crawl_dfs", "ann_ivf_topk",
     "head_relevance", "head_parse", "tpch_q1_pricing", "events_topk", "jsoncss_nested",
     "multimodal_resize_plan", "adaptive_coverage", "dedup_ngram_jaccard",
     "embedding_neardup", "chunks_sliding", "chunks_overlap", "chunks_regex",

@@ -126,6 +126,33 @@ def test_cosine_topk_self_first(emb):
     assert out[0].cos == 1.0
 
 
+def test_ivf_cell_assignment_deterministic(spark, emb):
+    cells = emb.select(
+        "vec_id", similarity.ivf_cell(F.col("embedding"), n_cells=8, dim=4)
+        .alias("cell")).collect()
+    by_id = {r.vec_id: r.cell for r in cells}
+    assert by_id[1] == by_id[5]                      # identical vectors, same cell
+    assert all(0 <= v < 8 for v in by_id.values())
+
+
+def test_ivf_full_probe_equals_brute_force(spark, emb):
+    # nprobe == n_cells probes every inverted list -> exact brute force
+    q = emb.where("vec_id <= 2").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    exact = similarity.cosine_topk(emb, q, k=3)
+    ivf = similarity.ivf_topk(emb, q, k=3, n_cells=4, nprobe=4, dim=4)
+    key = lambda rows: sorted((r.q_id, r.rank, r.vec_id, r.cos) for r in rows)
+    assert key(ivf.collect()) == key(exact.collect())
+
+
+def test_ivf_narrow_probe_finds_duplicate(spark, emb):
+    # the dup of vec 1 sits in the same cell, so even nprobe=1 finds it
+    q = emb.where("vec_id = 1").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    out = similarity.ivf_topk(emb, q, k=2, n_cells=8, nprobe=1, dim=4).collect()
+    assert [r.vec_id for r in sorted(out, key=lambda r: r.rank)][:2] == [1, 5]
+
+
 def test_signlsh_same_vector_same_bucket(spark, emb):
     b = emb.select(
         "vec_id", similarity.sign_lsh_bucket(F.col("embedding"), n_bits=4, dim=4)
