@@ -796,6 +796,34 @@ def events_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KAFKA_WIRE_ORACLE = """
+SELECT 'crawl.results' AS topic,
+       CAST(o_orderkey AS VARCHAR) AS key_str,
+       '{"o_orderkey": ' || o_orderkey || ', "o_orderstatus": "'
+         || o_orderstatus || '"}' AS value_str
+FROM orders WHERE o_orderkey <= 200
+"""
+
+
+@register("kafka_wire_format", _KAFKA_WIRE_ORACLE)
+def kafka_wire_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Kafka producer middleware's exact wire bytes
+    (middlewares/kafka/producer.py:104-116): key = str(k) utf-8,
+    value = json.dumps(v, ensure_ascii=False) utf-8 — byte-compared
+    (as decoded strings) against a SQL-concatenated twin."""
+    from crawl4ai_spark.streaming.kafka import kafka_messages
+
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 200)
+    msgs = kafka_messages(
+        orders, "crawl.results", "o_orderkey", ["o_orderkey", "o_orderstatus"]
+    )
+    return msgs.select(
+        "topic",
+        F.decode("key", "UTF-8").alias("key_str"),
+        F.decode("value", "UTF-8").alias("value_str"),
+    )
+
+
 # ===========================================================================
 # D. Training-data ops: dedup / similarity / text analysis
 # ===========================================================================
@@ -1542,7 +1570,7 @@ _WINDOW = [
 ]
 
 _TAIL = [
-    "crawl_dfs", "ann_ivf_topk",
+    "crawl_dfs", "ann_ivf_topk", "kafka_wire_format",
     "head_relevance", "head_parse", "tpch_q1_pricing", "events_topk", "jsoncss_nested",
     "multimodal_resize_plan", "adaptive_coverage", "dedup_ngram_jaccard",
     "embedding_neardup", "chunks_sliding", "chunks_overlap", "chunks_regex",
