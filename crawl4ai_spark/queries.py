@@ -1540,19 +1540,24 @@ def flagship(spark: SparkSession) -> DataFrame:
 _WINDOW = [
     # crawl engine
     "crawl_bfs", "crawl_spans", "crawl_links", "crawl_politeness",
-    "crawl_robots", "crawl_bestfirst", "crawl_citations", "crawl_contextual",
-    "rate_limiter_fold", "seed_pipeline", "config_routing",
+    "crawl_robots", "crawl_bestfirst", "crawl_dfs", "crawl_citations",
+    "crawl_contextual", "rate_limiter_fold", "seed_pipeline", "config_routing",
+    # sink wire format
+    "kafka_wire_format",
     # URL functions / filters / scorers
     "url_canonicalize", "url_base_domain", "url_scores", "url_filters",
     "url_seo", "url_domain_authority", "filter_stats", "link_scores",
     "rank_links",
     # relational scan/join/agg
     "tpch_q3_revenue",
-    # streaming windows
-    "events_tumbling", "events_sessionize",
-    # dedup family
+    # streaming windows (tumbling variant in the tail; sessionize + the
+    # stateful rate_limiter_fold represent the family)
+    "events_sessionize",
+    # dedup family (dedup_lsh_capped is the capped VARIANT of
+    # dedup_minhash_lsh — tail; the cap itself is driver-evidenced by
+    # dedup_ngram_capped's row)
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_ngram_capped", "dedup_pipeline", "dedup_lsh_capped",
+    "dedup_ngram_capped", "dedup_pipeline",
     # similarity / ANN
     "embedding_cosine_topk", "ann_signlsh_topk", "embedding_neardup_lsh",
     "cosine_clusters",
@@ -1570,7 +1575,7 @@ _WINDOW = [
 ]
 
 _TAIL = [
-    "crawl_dfs", "ann_ivf_topk", "kafka_wire_format",
+    "ann_ivf_topk", "events_tumbling", "dedup_lsh_capped",
     "head_relevance", "head_parse", "tpch_q1_pricing", "events_topk", "jsoncss_nested",
     "multimodal_resize_plan", "adaptive_coverage", "dedup_ngram_jaccard",
     "embedding_neardup", "chunks_sliding", "chunks_overlap", "chunks_regex",
