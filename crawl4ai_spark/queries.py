@@ -630,15 +630,25 @@ def url_seo(spark: SparkSession, sf_dir: str) -> DataFrame:
 # C. Analytics (general DataFrame/SQL capability over the star schema)
 # ===========================================================================
 
+# Monetary aggregates in DECIMAL, not DOUBLE: at sf >= 0.1 the 6dp-exact
+# charge sum needs ~16 significant digits, past double precision, so the
+# two engines' summation orders produce 1-ulp differences that survive
+# any fixed rounding. Decimal sums are EXACT and order-independent; the
+# final decimal->double cast rounds the same real number to the same
+# nearest double in both engines. Averages divide the exact double-cast
+# sum by the count (both exactly representable), then round.
 _Q1_ORACLE = """
 SELECT l_returnflag, l_linestatus,
-  CAST(ROUND(SUM(l_quantity), 2) AS DOUBLE) AS sum_qty,
-  CAST(ROUND(SUM(l_extendedprice), 2) AS DOUBLE) AS sum_base_price,
-  CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS DOUBLE) AS sum_disc_price,
-  CAST(ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS DOUBLE) AS sum_charge,
-  CAST(ROUND(AVG(l_quantity), 4) AS DOUBLE) AS avg_qty,
-  CAST(ROUND(AVG(l_extendedprice), 4) AS DOUBLE) AS avg_price,
-  CAST(ROUND(AVG(l_discount), 4) AS DOUBLE) AS avg_disc,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l_discount AS DECIMAL(18,2)))
+           * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+  CAST(ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS DOUBLE) AS avg_qty,
+  CAST(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS DOUBLE) AS avg_price,
+  CAST(ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS DOUBLE) AS avg_disc,
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -649,22 +659,23 @@ GROUP BY l_returnflag, l_linestatus
 @register("tpch_q1_pricing", _Q1_ORACLE)
 def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    one = F.lit(1).cast("decimal(18,2)")
+    disc_price = dec("l_extendedprice") * (one - dec("l_discount"))
+    charge = disc_price * (one + dec("l_tax"))
+    n = F.count(F.lit(1))
     return (
         l.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
-            .alias("sum_disc_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))
-                      * (1 + F.col("l_tax"))), 6
-            ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.round(F.sum(dec("l_quantity")).cast("double") / n, 4).alias("avg_qty"),
+            F.round(F.sum(dec("l_extendedprice")).cast("double") / n, 4).alias("avg_price"),
+            F.round(F.sum(dec("l_discount")).cast("double") / n, 4).alias("avg_disc"),
+            n.alias("count_order"),
         )
     )
 
