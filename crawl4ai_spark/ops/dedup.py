@@ -371,25 +371,28 @@ def embedding_neardup_pairs(
     buckets by sign-LSH first (ops/similarity.py) so only same-bucket
     pairs reach the dot product.
     """
-    v = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # norm is per-vector: computed once here rather than per pair (same
+    # doubles, O(n) instead of O(n^2) interpreted HOF folds)
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col(vec_col), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+    )
+    v = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                   norm.alias("nrm"))
     a, b = v.alias("a"), v.alias("b")
     dot = F.aggregate(
         F.zip_with("a.v", "b.v", lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    norm = lambda side: F.sqrt(
-        F.aggregate(
-            F.transform(f"{side}.v", lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0), lambda acc, x: acc + x,
-        )
-    )
     return (
         a.join(b, F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(dot / (norm("a") * norm("b")), 6).alias("cos"),
+            F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6).alias("cos"),
         )
         .where(F.col("cos") >= threshold)
     )

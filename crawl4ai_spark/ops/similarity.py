@@ -57,13 +57,17 @@ def cosine_topk(
     Output: (q_id, vec_id, cos, rank), rank 1..k, ties broken by vec_id
     (cosine rounded to 6dp first so ranking is float-order-insensitive).
     """
-    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
-    q = queries.select(F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("qv"))
+    # norms are per-VECTOR, so compute them once before the pair join —
+    # same doubles, same divide, but |pairs| fewer interpreted HOF folds
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"),
+                      _norm(F.col(vec_col)).alias("vn"))
+    q = queries.select(F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("qv"),
+                       _norm(F.col(q_vec_col)).alias("qn"))
     scored = (
         c.join(F.broadcast(q))
         .select(
             "q_id", "vec_id",
-            F.round(_dot("v", "qv") / (_norm("v") * _norm("qv")), 6).alias("cos"),
+            F.round(_dot("v", "qv") / (F.col("vn") * F.col("qn")), 6).alias("cos"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
@@ -122,7 +126,8 @@ def cosine_clusters(
     """
     from crawl4ai_spark.ops.dedup import connected_components_min
 
-    v = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    v = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                   _norm(F.col(vec_col)).alias("nrm"))
     if use_lsh:
         b = v.withColumn("bucket", sign_lsh_bucket(F.col("v"), n_bits, dim))
         a2, b2 = b.alias("a"), b.alias("b")
@@ -135,8 +140,10 @@ def cosine_clusters(
         joined = a2.join(b2, F.col("a.id") < F.col("b.id"))
     pairs = joined.select(
         F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+        # per-vector norms precomputed above: identical doubles to the
+        # per-pair form, minus two 64-dim folds on every candidate pair
         F.round(
-            _dot("a.v", "b.v") / (_norm("a.v") * _norm("b.v")), 6
+            _dot("a.v", "b.v") / (F.col("a.nrm") * F.col("b.nrm")), 6
         ).alias("cos"),
     ).where(F.col("cos") >= sim_threshold).select("id_a", "id_b")
 
@@ -172,6 +179,7 @@ def signlsh_neardup_pairs(
     on, so the exchange is shared."""
     v = emb.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("nrm"),
         sign_lsh_bucket(F.col(vec_col), n_bits, dim).alias("bucket"),
     )
     if max_bucket_df is not None:
@@ -188,7 +196,7 @@ def signlsh_neardup_pairs(
         .select(
             F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
             F.round(
-                _dot("a.v", "b.v") / (_norm("a.v") * _norm("b.v")), 6
+                _dot("a.v", "b.v") / (F.col("a.nrm") * F.col("b.nrm")), 6
             ).alias("cos"),
         )
         .where(F.col("cos") >= threshold)
@@ -284,10 +292,12 @@ def ivf_topk(
     """
     c = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("vn"),
         ivf_cell(F.col(vec_col), n_cells, dim).alias("cell"),
     )
     q = queries.select(
         F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("qv"),
+        _norm(F.col(q_vec_col)).alias("qn"),
         F.posexplode(ivf_cell_distances(F.col(q_vec_col), n_cells, dim))
         .alias("cell", "d2"),
     )
@@ -295,11 +305,11 @@ def ivf_topk(
     q_cells = (
         q.withColumn("probe_rank", F.row_number().over(wq))
         .where(F.col("probe_rank") <= nprobe)
-        .select("q_id", "qv", F.col("cell").cast("long").alias("cell"))
+        .select("q_id", "qv", "qn", F.col("cell").cast("long").alias("cell"))
     )
     scored = c.join(F.broadcast(q_cells), "cell").select(
         "q_id", "vec_id",
-        F.round(_dot("v", "qv") / (_norm("v") * _norm("qv")), 6).alias("cos"),
+        F.round(_dot("v", "qv") / (F.col("vn") * F.col("qn")), 6).alias("cos"),
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
@@ -320,15 +330,17 @@ def signlsh_topk(
     sign-LSH bucket. Output: (q_id, vec_id, cos, rank)."""
     c = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("vn"),
         sign_lsh_bucket(F.col(vec_col), n_bits, dim).alias("bucket"),
     )
     q = queries.select(
         F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("qv"),
+        _norm(F.col(q_vec_col)).alias("qn"),
         sign_lsh_bucket(F.col(q_vec_col), n_bits, dim).alias("bucket"),
     )
     scored = c.join(F.broadcast(q), "bucket").select(
         "q_id", "vec_id",
-        F.round(_dot("v", "qv") / (_norm("v") * _norm("qv")), 6).alias("cos"),
+        F.round(_dot("v", "qv") / (F.col("vn") * F.col("qn")), 6).alias("cos"),
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
