@@ -115,6 +115,8 @@ def main() -> None:
         "text_stats",
         "chunks_fixed",
         "url_canonicalize",
+        "quality_gopher",
+        "decontaminate",
     ]
 
     timings: dict[str, float] = {}

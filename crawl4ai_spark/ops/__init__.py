@@ -1,4 +1,5 @@
 """Training-data pipeline operators (dedup, similarity, text analysis,
-multimodal plumbing) — first-class components of the engine alongside
-the crawl loop: a 100 TB crawl output is only useful once deduplicated,
-quality-scored, and searchable."""
+corpus quality/decontamination/PII, multimodal plumbing) — first-class
+components of the engine alongside the crawl loop: a 100 TB crawl
+output is only useful once deduplicated, quality-scored, decontaminated
+against eval sets, and searchable."""

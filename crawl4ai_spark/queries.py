@@ -1555,8 +1555,9 @@ _WINDOW = [
     "crawl_contextual", "rate_limiter_fold", "seed_pipeline", "config_routing",
     # sink wire format
     "kafka_wire_format",
-    # URL functions / filters / scorers
-    "url_canonicalize", "url_base_domain", "url_scores", "url_filters",
+    # URL functions / filters / scorers (url_base_domain -> tail for
+    # round 3: driver-green in r2, same §2.8 family as url_canonicalize)
+    "url_canonicalize", "url_scores", "url_filters",
     "url_seo", "url_domain_authority", "filter_stats", "link_scores",
     "rank_links",
     # relational scan/join/agg
@@ -1566,8 +1567,9 @@ _WINDOW = [
     "events_sessionize",
     # dedup family (dedup_lsh_capped is the capped VARIANT of
     # dedup_minhash_lsh — tail; the cap itself is driver-evidenced by
-    # dedup_ngram_capped's row)
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    # dedup_ngram_capped's row; dedup_simhash -> tail for round 3:
+    # driver-green in r2, four dedup siblings stay in the window)
+    "dedup_exact", "dedup_minhash_lsh",
     "dedup_ngram_capped", "dedup_pipeline",
     # similarity / ANN
     "embedding_cosine_topk", "ann_signlsh_topk", "embedding_neardup_lsh",
@@ -1575,9 +1577,13 @@ _WINDOW = [
     # text analysis / chunking / tokenization
     "text_stats", "sanitize_text", "chunks_fixed", "chunks_merge",
     "regex_extract", "regex_builtin_catalog", "bpe_tokens",
-    # structured extraction / markdown / multimodal
-    "jsoncss_extract", "jsonxpath_extract", "fit_html", "fit_markdown",
+    # structured extraction / markdown / multimodal (jsonxpath_extract
+    # -> tail for round 3: driver-green in r2, same §2.7 row as
+    # jsoncss_extract which stays)
+    "jsoncss_extract", "fit_html", "fit_markdown",
     "multimodal_features",
+    # corpus quality / curation (new in round 3)
+    "quality_gopher", "decontaminate", "pii_redact",
     # adaptive crawling
     "adaptive_term_stats", "adaptive_confidence", "adaptive_consistency",
     "adaptive_saturation",
@@ -1586,6 +1592,7 @@ _WINDOW = [
 ]
 
 _TAIL = [
+    "url_base_domain", "dedup_simhash", "jsonxpath_extract",
     "ann_ivf_topk", "events_tumbling", "dedup_lsh_capped",
     "head_relevance", "head_parse", "tpch_q1_pricing", "events_topk", "jsoncss_nested",
     "multimodal_resize_plan", "adaptive_coverage", "dedup_ngram_jaccard",
@@ -3054,4 +3061,209 @@ def sanitize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean = repair_mojibake_expr(F.col("t"))
     return docs.select(
         "doc_id", clean.alias("clean"), F.length(clean).cast("long").alias("clean_len")
+    )
+
+
+# -- corpus quality: Gopher rules / decontamination / PII ---------------------
+
+_W_SQL = """
+  SELECT CAST(doc_id AS BIGINT) AS id, u.word, u.pos
+  FROM documents,
+       LATERAL (SELECT unnest(string_split(text,' ')) AS word,
+                generate_subscripts(string_split(text,' '),1) AS pos) u
+"""
+
+
+def _gopher_oracle() -> str:
+    from crawl4ai_spark.ops.quality import (
+        GOPHER_MAX_DUP_WORD_FRAC,
+        GOPHER_MAX_TOP_BIGRAM_FRAC,
+        GOPHER_MAX_TOP_WORD_FRAC,
+        GOPHER_MIN_WORDS,
+    )
+
+    def pick(n, col):
+        return f"max(CASE WHEN n={n} THEN {col} END)"
+
+    def frac(n, col="top_c"):
+        return (f"CAST(ROUND(CAST({pick(n, col)} AS DOUBLE) / "
+                f"CAST({pick(n, 'total')} AS DOUBLE), 6) AS DOUBLE)")
+
+    return f"""
+WITH w AS ({_W_SQL}),
+g AS (
+  SELECT id, 1 AS n, word AS gram FROM w
+  UNION ALL
+  SELECT id, 2, word || ' ' || lead(word,1) OVER win2
+  FROM w WINDOW win2 AS (PARTITION BY id ORDER BY pos)
+  QUALIFY lead(word,1) OVER win2 IS NOT NULL
+  UNION ALL
+  SELECT id, 3, word || ' ' || lead(word,1) OVER win3 || ' ' || lead(word,2) OVER win3
+  FROM w WINDOW win3 AS (PARTITION BY id ORDER BY pos)
+  QUALIFY lead(word,2) OVER win3 IS NOT NULL
+),
+gc AS (SELECT id, n, gram, count(*) AS c FROM g GROUP BY id, n, gram),
+per AS (SELECT id, n, max(c) AS top_c, sum(c) AS total,
+               count(*) AS n_distinct FROM gc GROUP BY id, n),
+sig AS (
+  SELECT id,
+         CAST({pick(1, 'total')} AS BIGINT) AS n_words,
+         {frac(1)} AS top_word_frac,
+         {frac(2)} AS top_bigram_frac,
+         {frac(3)} AS top_trigram_frac,
+         CAST(ROUND(1.0 - CAST({pick(1, 'n_distinct')} AS DOUBLE)
+                    / CAST({pick(1, 'total')} AS DOUBLE), 6) AS DOUBLE)
+             AS dup_word_frac
+  FROM per GROUP BY id
+)
+SELECT id AS doc_id, n_words, top_word_frac, top_bigram_frac,
+       top_trigram_frac, dup_word_frac,
+       CASE WHEN n_words >= {GOPHER_MIN_WORDS}
+             AND top_word_frac <= {GOPHER_MAX_TOP_WORD_FRAC}
+             AND top_bigram_frac <= {GOPHER_MAX_TOP_BIGRAM_FRAC}
+             AND dup_word_frac <= {GOPHER_MAX_DUP_WORD_FRAC}
+            THEN 1 ELSE 0 END AS keep
+FROM sig
+"""
+
+
+@register("quality_gopher", _gopher_oracle())
+def quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/quality signals per document (Rae et al.
+    2021 App. A analog over the documents table): top 1/2/3-gram mass
+    fractions, duplicate-word fraction, and a deterministic keep/drop
+    decision. One HOF gram pass, two doc-keyed aggregations, no UDF."""
+    from crawl4ai_spark.ops.quality import gopher_signals
+
+    sig = gopher_signals(_t(spark, sf_dir, "documents"))
+    return sig.select(
+        "doc_id", "n_words", "top_word_frac", "top_bigram_frac",
+        "top_trigram_frac", "dup_word_frac",
+        F.col("keep").cast("int").alias("keep"),
+    )
+
+
+_DECON_N = 8           # GPT-3 App. C uses 13-grams; 8 fits doc lengths here
+_DECON_BENCH_MOD = 50  # doc_id % 50 == 0 plays the benchmark/eval set
+
+
+def _decon_oracle() -> str:
+    lead_terms = " || ' ' || ".join(
+        f"lead(word,{k}) OVER win" for k in range(1, _DECON_N)
+    )
+    return f"""
+WITH w AS ({_W_SQL}),
+g AS (
+  SELECT id, word || ' ' || {lead_terms} AS gram
+  FROM w WINDOW win AS (PARTITION BY id ORDER BY pos)
+  QUALIFY lead(word,{_DECON_N - 1}) OVER win IS NOT NULL
+),
+gh AS (SELECT DISTINCT id, {_h64('gram')} AS gram_hash FROM g),
+bench AS (SELECT DISTINCT gram_hash FROM gh WHERE id % {_DECON_BENCH_MOD} = 0),
+corp AS (SELECT * FROM gh WHERE id % {_DECON_BENCH_MOD} <> 0),
+hit AS (SELECT id, count(*) AS n_hit FROM corp
+        WHERE gram_hash IN (SELECT gram_hash FROM bench) GROUP BY id),
+per AS (SELECT id, count(*) AS n_grams FROM corp GROUP BY id)
+SELECT per.id AS doc_id,
+       CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+       CAST(ROUND(CAST(coalesce(n_hit, 0) AS DOUBLE)
+                  / CAST(n_grams AS DOUBLE), 6) AS DOUBLE) AS hit_frac,
+       CASE WHEN coalesce(n_hit, 0) > 0 THEN 1 ELSE 0 END AS contaminated
+FROM per LEFT JOIN hit ON per.id = hit.id
+"""
+
+
+@register("decontaminate", _decon_oracle())
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing any word-8-gram
+    with the benchmark slice (doc_id % 50 == 0 plays the eval set) are
+    flagged. Benchmark gram hashes broadcast; corpus never shuffles for
+    the probe — only the per-doc distinct/rollup exchanges."""
+    from crawl4ai_spark.ops.quality import ngram_contamination
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long")
+    )
+    bench = docs.where(F.col("doc_id") % _DECON_BENCH_MOD == 0)
+    corpus = docs.where(F.col("doc_id") % _DECON_BENCH_MOD != 0)
+    out = ngram_contamination(corpus, bench, n=_DECON_N)
+    return out.select(
+        "doc_id", "n_grams", "n_hit", "hit_frac",
+        F.col("contaminated").cast("int").alias("contaminated"),
+    )
+
+
+def _pii_plant_sql() -> str:
+    return """text
+  || ' contact u' || CAST(id AS VARCHAR) || '@ex'
+     || CAST(id % 7 AS VARCHAR) || '.org'
+  || CASE WHEN id % 3 = 0
+          THEN ' cc admin.' || CAST(id % 5 AS VARCHAR) || '+x@mail'
+               || CAST(id % 4 AS VARCHAR) || '.example.co'
+          ELSE '' END
+  || CASE WHEN id % 2 = 0
+          THEN ' call 555-' || lpad(CAST(id % 10000 AS VARCHAR), 4, '0')
+          ELSE '' END
+  || CASE WHEN id % 5 < 3
+          THEN ' ip 10.' || CAST(id % 200 AS VARCHAR) || '.3.'
+               || CAST(id % 50 AS VARCHAR)
+          ELSE '' END"""
+
+
+def _pii_oracle() -> str:
+    from crawl4ai_spark.ops.quality import PII_ORDER, PII_PATTERNS
+
+    red = "t"
+    counts = []
+    for name in PII_ORDER:
+        pat, rep = PII_PATTERNS[name]
+        counts.append(
+            f"CAST(len(regexp_extract_all(t, '{pat}')) AS BIGINT) AS n_{name}"
+        )
+        red = f"regexp_replace({red}, '{pat}', '{rep}', 'g')"
+    return f"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, {_pii_plant_sql()} AS t
+  FROM (SELECT doc_id, text, CAST(doc_id AS BIGINT) AS id FROM documents)
+)
+SELECT doc_id, {red} AS redacted, {', '.join(counts)}
+FROM d
+"""
+
+
+@register("pii_redact", _pii_oracle())
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PII redaction (email/phone/IPv4 -> typed
+    placeholders) with per-class match counts, over text with planted
+    PII (the corpus has none; the plant is a pure function of doc_id,
+    mirroring the sanitize_text pattern). Pure Catalyst regexp — no
+    UDF, whole-stage codegen."""
+    from crawl4ai_spark.ops.quality import redact_pii
+
+    i = F.col("doc_id").cast("long")
+    plant = F.concat(
+        F.col("text"),
+        F.lit(" contact u"), i.cast("string"), F.lit("@ex"),
+        (i % 7).cast("string"), F.lit(".org"),
+        F.when(i % 3 == 0, F.concat(
+            F.lit(" cc admin."), (i % 5).cast("string"), F.lit("+x@mail"),
+            (i % 4).cast("string"), F.lit(".example.co"),
+        )).otherwise(F.lit("")),
+        F.when(i % 2 == 0, F.concat(
+            F.lit(" call 555-"), F.lpad((i % 10000).cast("string"), 4, "0"),
+        )).otherwise(F.lit("")),
+        F.when(i % 5 < 3, F.concat(
+            F.lit(" ip 10."), (i % 200).cast("string"), F.lit(".3."),
+            (i % 50).cast("string"),
+        )).otherwise(F.lit("")),
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), plant.alias("t")
+    )
+    cols = redact_pii(F.col("t"))
+    return d.select(
+        "doc_id", cols["redacted"].alias("redacted"),
+        cols["n_email"].alias("n_email"), cols["n_phone"].alias("n_phone"),
+        cols["n_ip"].alias("n_ip"),
     )
