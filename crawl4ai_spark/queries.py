@@ -3267,3 +3267,110 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         cols["n_email"].alias("n_email"), cols["n_phone"].alias("n_phone"),
         cols["n_ip"].alias("n_ip"),
     )
+
+
+# -- link-graph authority + corpus mixture sampling ---------------------------
+
+_PR_ITER = 8
+
+
+def _pagerank_oracle() -> str:
+    from crawl4ai_spark.ops.graph import (
+        PAGERANK_DAMP_DEN,
+        PAGERANK_DAMP_NUM,
+        PAGERANK_R0,
+    )
+
+    base = PAGERANK_R0 * (PAGERANK_DAMP_DEN - PAGERANK_DAMP_NUM) // PAGERANK_DAMP_DEN
+    its = []
+    for k in range(1, _PR_ITER + 1):
+        its.append(f"""
+it{k} AS (
+  SELECT d.i AS node,
+         CAST({base} AS BIGINT)
+           + ({PAGERANK_DAMP_NUM} * coalesce(s.s, 0)) // {PAGERANK_DAMP_DEN}
+           AS r
+  FROM d LEFT JOIN (
+    SELECT ed.dst, SUM(r.r // ed.deg) AS s
+    FROM ed JOIN it{k-1} r ON ed.src = r.node GROUP BY ed.dst
+  ) s ON d.i = s.dst
+)""")
+    return f"""
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents),
+cnt AS ({_CNT}),
+e AS (
+  SELECT i AS src, u.kid AS dst
+  FROM d, cnt, LATERAL (SELECT unnest({_KIDS_SQL}) AS kid) u
+),
+deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+ed AS (SELECT e.src, e.dst, deg.deg FROM e JOIN deg USING (src)),
+it0 AS (SELECT i AS node, CAST({PAGERANK_R0} AS BIGINT) AS r FROM d),
+{','.join(its)}
+SELECT node AS doc_id, CAST(r AS BIGINT) AS rank_scaled FROM it{_PR_ITER}
+"""
+
+
+@register("link_pagerank", _pagerank_oracle())
+def link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-arithmetic PageRank over the synthetic link DAG
+    (children_expr edges), 8 synchronous iterations — the graph-derived
+    authority signal behind a DomainAuthorityScorer-style dim table.
+    BIGINT-exact (no float association drift), so the unrolled-CTE
+    oracle matches bit-for-bit."""
+    from crawl4ai_spark.ops.graph import pagerank_int
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    i = F.col("doc_id").cast("long")
+    nodes = docs.select(i.alias("node"))
+    edges = docs.select(
+        i.alias("src"), F.explode(children_expr(i, n)).alias("dst")
+    )
+    out = pagerank_int(nodes, edges, n_iter=_PR_ITER)
+    return out.select(F.col("node").alias("doc_id"), "rank_scaled")
+
+
+def _mixture_pct_sql(src: str = "source") -> str:
+    # pct by source suffix: 20/30/40% for suffix % 3 = 0/1/2
+    return f"20 + 10 * (CAST(substr({src}, 4) AS BIGINT) % 3)"
+
+
+def _mixture_oracle() -> str:
+    return f"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         {_mixture_pct_sql()} AS pct,
+         {_h64("CAST(doc_id AS VARCHAR)", seed="mix")} AS h
+  FROM documents
+),
+totals AS (
+  SELECT source, (SUM(n_tokens) * max(pct)) // 100 AS budget_tokens
+  FROM d GROUP BY source
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM d
+)
+SELECT c.doc_id, c.source, c.n_tokens,
+       CAST(c.cum_tokens AS BIGINT) AS cum_tokens,
+       CAST(t.budget_tokens AS BIGINT) AS budget_tokens
+FROM c JOIN totals t USING (source)
+WHERE c.cum_tokens <= t.budget_tokens
+"""
+
+
+@register("corpus_mixture_sample", _mixture_oracle())
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture token-budget sampling: per source stratum, take
+    docs in deterministic hash order until (stratum tokens * pct)//100
+    is reached (pct = 20/30/40% by source suffix). BIGINT window
+    cumsum -> exactly reproducible selection cross-engine."""
+    from crawl4ai_spark.ops.sampling import mixture_sample
+
+    pct = F.lit(20) + 10 * (
+        F.substring(F.col("source"), 4, 10).cast("long") % 3
+    )
+    return mixture_sample(_t(spark, sf_dir, "documents"), pct)
