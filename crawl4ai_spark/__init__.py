@@ -15,8 +15,10 @@ Layout:
                  checkpoint/resume
     corpus/      deterministic synthetic web corpora (FakeShop-style) and
                  hash-derived link graphs over the driver test tables
-    pipelines/   training-data ops: dedup (exact/minhash/simhash), ANN
-                 similarity, text quality/language/tokens, multimodal plumbing
+    ops/         training-data ops: dedup (exact/minhash/simhash), ANN
+                 similarity, text quality/language/tokens, Gopher-style
+                 quality gates, benchmark decontamination, PII redaction,
+                 link PageRank, mixture sampling, multimodal plumbing
     streaming/   Structured Streaming wrappers for incremental page delivery
 """
 
