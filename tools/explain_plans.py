@@ -181,6 +181,82 @@ def main():
         fmt(merged),
     ))
 
+    # 8. IVF ANN: shuffle-free coarse quantizer + broadcast probe
+    from crawl4ai_spark.ops.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qset = emb.limit(5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    sections.append((
+        "IVF ANN: shuffle-free coarse quantizer + broadcast probe (round 3)",
+        "Cell assignment is a per-row argmin over hash-derived centroids "
+        "(no trained codebook to ship, no shuffle); queries explode to their "
+        "nprobe nearest cells and BROADCAST, so the corpus-side probe is "
+        "map-side — the only exchange is the per-query top-k window.",
+        fmt(ivf_topk(emb, qset, id_col="vec_id", vec_col="embedding",
+                     q_id_col="q_id", q_vec_col="qv", k=5)),
+    ))
+
+    # 9-11. corpus quality trio (round 3)
+    from crawl4ai_spark.ops.quality import (
+        gopher_signals,
+        ngram_contamination,
+        redact_pii,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sections.append((
+        "Gopher quality signals: codegen'd window grams, doc-keyed shuffles",
+        "Grams formed by lead() on the already-necessary doc-keyed exchange "
+        "(the HOF slice/join form drops out of codegen — measured ~10x "
+        "slower); partial HashAggregates before every exchange; 2-of-5 "
+        "column ReadSchema.",
+        fmt(gopher_signals(docs)),
+    ))
+    bench_docs = docs.where(F.col("doc_id") % 50 == 0)
+    corp_docs = docs.where(F.col("doc_id") % 50 != 0)
+    sections.append((
+        "Benchmark decontamination: broadcast semi-join probe, no cross join",
+        "Corpus 8-grams are HOF-formed per row (words never shuffle for "
+        "gram formation — only 60-bit hashes move); the benchmark gram set "
+        "is distinct + BroadcastExchange, so the probe is a map-side "
+        "LeftSemi BroadcastHashJoin; corpus-sized exchanges are the two "
+        "doc-keyed rollups only.",
+        fmt(ngram_contamination(corp_docs, bench_docs, n=8)),
+    ))
+    pii_cols = redact_pii(F.col("text"))
+    sections.append((
+        "PII redaction: single codegen stage, no exchange",
+        "3 regexp_replace + 3 regexp_count in ONE WholeStageCodegen "
+        "projection over the scan — zero shuffles, zero Python; patterns "
+        "restricted to Java-regex/RE2-common syntax so the DuckDB oracle "
+        "runs the same automata.",
+        fmt(docs.select(
+            "doc_id", pii_cols["redacted"].alias("redacted"),
+            pii_cols["n_email"].alias("n_email"),
+            pii_cols["n_phone"].alias("n_phone"),
+            pii_cols["n_ip"].alias("n_ip"),
+        )),
+    ))
+
+    # 12. integer PageRank: loop-invariant degree join, one shuffle/iter
+    from crawl4ai_spark.corpus.webgen import children_expr
+    from crawl4ai_spark.ops.graph import pagerank_int
+
+    i = F.col("doc_id").cast("long")
+    nodes = docs.select(i.alias("node"))
+    edges = docs.select(i.alias("src"),
+                        F.explode(children_expr(i, 500)).alias("dst"))
+    sections.append((
+        "Integer PageRank: loop-invariant degree join, one shuffle per iteration",
+        "Out-degrees are joined onto the edge list ONCE before the loop; "
+        "each of the 2 shown iterations is one groupBy(dst) exchange over "
+        "(edges x ranks); BIGINT ranks + integer division keep the result "
+        "association-order independent (bit-exact oracle).",
+        fmt(pagerank_int(nodes, edges, n_iter=2)),
+    ))
+
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write(
