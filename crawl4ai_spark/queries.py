@@ -3374,3 +3374,132 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.col("source"), 4, 10).cast("long") % 3
     )
     return mixture_sample(_t(spark, sf_dir, "documents"), pct)
+
+
+# -- end-to-end curation pipeline ---------------------------------------------
+
+def _curation_oracle() -> str:
+    from crawl4ai_spark.ops.quality import (
+        GOPHER_MAX_DUP_WORD_FRAC,
+        GOPHER_MAX_TOP_BIGRAM_FRAC,
+        GOPHER_MAX_TOP_WORD_FRAC,
+        GOPHER_MIN_WORDS,
+    )
+
+    def pick(n, col):
+        return f"max(CASE WHEN n={n} THEN {col} END)"
+
+    lead8 = " || ' ' || ".join(f"lead(word,{k}) OVER win" for k in range(1, 8))
+
+    def grams8(src: str, alias: str) -> str:
+        return f"""{alias} AS (
+  SELECT doc_id, {_h64('gram')} AS gram_hash FROM (
+    SELECT t.doc_id, t.word || ' ' || {lead8} AS gram
+    FROM (SELECT doc_id, u.word, u.pos
+          FROM {src},
+               LATERAL (SELECT unnest(string_split(text,' ')) AS word,
+                        generate_subscripts(string_split(text,' '),1) AS pos) u
+         ) t WINDOW win AS (PARTITION BY t.doc_id ORDER BY t.pos)
+    QUALIFY lead(word,7) OVER win IS NOT NULL
+  ) GROUP BY ALL
+)"""
+
+    return f"""
+WITH w AS ({_W_SQL}),
+g AS (
+  SELECT id, 1 AS n, word AS gram FROM w
+  UNION ALL
+  SELECT id, 2, word || ' ' || lead(word,1) OVER win2
+  FROM w WINDOW win2 AS (PARTITION BY id ORDER BY pos)
+  QUALIFY lead(word,1) OVER win2 IS NOT NULL
+  UNION ALL
+  SELECT id, 3, word || ' ' || lead(word,1) OVER win3 || ' ' || lead(word,2) OVER win3
+  FROM w WINDOW win3 AS (PARTITION BY id ORDER BY pos)
+  QUALIFY lead(word,2) OVER win3 IS NOT NULL
+),
+gc AS (SELECT id, n, gram, count(*) AS c FROM g GROUP BY id, n, gram),
+per AS (SELECT id, n, max(c) AS top_c, sum(c) AS total,
+               count(*) AS n_distinct FROM gc GROUP BY id, n),
+sig AS (
+  SELECT id FROM per GROUP BY id
+  HAVING CAST({pick(1, 'total')} AS BIGINT) >= {GOPHER_MIN_WORDS}
+     AND CAST(ROUND(CAST({pick(1, 'top_c')} AS DOUBLE)
+              / CAST({pick(1, 'total')} AS DOUBLE), 6) AS DOUBLE)
+         <= {GOPHER_MAX_TOP_WORD_FRAC}
+     AND CAST(ROUND(CAST({pick(2, 'top_c')} AS DOUBLE)
+              / CAST({pick(2, 'total')} AS DOUBLE), 6) AS DOUBLE)
+         <= {GOPHER_MAX_TOP_BIGRAM_FRAC}
+     AND CAST(ROUND(1.0 - CAST({pick(1, 'n_distinct')} AS DOUBLE)
+              / CAST({pick(1, 'total')} AS DOUBLE), 6) AS DOUBLE)
+         <= {GOPHER_MAX_DUP_WORD_FRAC}
+),
+base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text, source FROM documents),
+kept AS (SELECT base.* FROM base JOIN sig ON base.doc_id = sig.id),
+kh AS (SELECT doc_id, {_h64('text')} AS ch FROM kept),
+keepers AS (SELECT min(doc_id) AS doc_id FROM kh GROUP BY ch),
+kept2 AS (SELECT kept.* FROM kept JOIN keepers USING (doc_id)),
+corp AS (SELECT * FROM kept2 WHERE doc_id % {_DECON_BENCH_MOD} <> 0),
+benchdocs AS (SELECT * FROM base WHERE doc_id % {_DECON_BENCH_MOD} = 0),
+{grams8('corp', 'cg')},
+{grams8('benchdocs', 'bg')},
+cont AS (SELECT DISTINCT cg.doc_id FROM cg
+         WHERE gram_hash IN (SELECT gram_hash FROM bg)),
+clean AS (SELECT corp.* FROM corp
+          WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+d2 AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         {_mixture_pct_sql()} AS pct,
+         {_h64("CAST(doc_id AS VARCHAR)", seed="mix")} AS h
+  FROM clean
+),
+totals AS (
+  SELECT source, (SUM(n_tokens) * max(pct)) // 100 AS budget_tokens
+  FROM d2 GROUP BY source
+),
+cs AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM d2
+)
+SELECT cs.doc_id, cs.source, cs.n_tokens,
+       CAST(cs.cum_tokens AS BIGINT) AS cum_tokens,
+       CAST(t.budget_tokens AS BIGINT) AS budget_tokens
+FROM cs JOIN totals t USING (source)
+WHERE cs.cum_tokens <= t.budget_tokens
+"""
+
+
+@register("curation_pipeline", _curation_oracle())
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation over the documents table:
+    Gopher quality gate -> exact-dedup keeper -> benchmark
+    decontamination -> domain-mixture token-budget sample. Every stage
+    is the already-oracle'd operator; the composition is itself
+    exactly oracle'd (the final selected training set is deterministic
+    BIGINT/hash arithmetic end to end)."""
+    from crawl4ai_spark.ops.quality import gopher_signals, ngram_contamination
+    from crawl4ai_spark.ops.sampling import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text", "source"
+    )
+    keep_ids = gopher_signals(docs).where(F.col("keep")).select("doc_id")
+    kept = docs.join(keep_ids, "doc_id", "left_semi")
+    keepers = (
+        kept.select("doc_id", hash64("text").alias("ch"))
+        .groupBy("ch").agg(F.min("doc_id").alias("doc_id"))
+    )
+    kept2 = kept.join(keepers.select("doc_id"), "doc_id", "left_semi")
+    bench = docs.where(F.col("doc_id") % _DECON_BENCH_MOD == 0)
+    corp = kept2.where(F.col("doc_id") % _DECON_BENCH_MOD != 0)
+    cont = (
+        ngram_contamination(corp, bench, n=_DECON_N)
+        .where(F.col("contaminated")).select("doc_id")
+    )
+    clean = corp.join(cont, "doc_id", "left_anti")
+    pct = F.lit(20) + 10 * (
+        F.substring(F.col("source"), 4, 10).cast("long") % 3
+    )
+    return mixture_sample(clean, pct)
