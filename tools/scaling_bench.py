@@ -99,6 +99,51 @@ def run_once(cores: int, replicas: int, sf_dir: str) -> dict:
         spark.stop()
 
 
+def run_ops_once(cores: int, replicas: int, sf_dir: str) -> dict:
+    """Same two-level protocol for the curation-ops job: Gopher quality
+    signals + benchmark decontamination over a REPLICAS x documents
+    corpus — the shuffle-bound (gopher) and broadcast-probe-bound
+    (decon) halves of the training-data path."""
+    from pyspark.sql import functions as F
+
+    from crawl4ai_spark.corpus.webgen import replicate_docs
+    from crawl4ai_spark.ops.quality import gopher_signals, ngram_contamination
+    from crawl4ai_spark.session import build_session
+
+    spark = build_session(
+        app_name=f"ops-scaling-{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=64,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        n = docs.count()
+        big = replicate_docs(docs, replicas, n_docs=n) \
+            .repartition(64).persist()
+        n_big = big.count()  # materialize input outside the timed section
+        bench = big.where(F.col("doc_id") % 50 == 0)
+        corp = big.where(F.col("doc_id") % 50 != 0)
+
+        def job():
+            gopher_signals(big).write.format("noop").mode("overwrite").save()
+            ngram_contamination(corp, bench, n=8) \
+                .write.format("noop").mode("overwrite").save()
+
+        job()  # warm-up: python workers + codegen compile
+        t0 = time.monotonic()
+        job()
+        wall = time.monotonic() - t0
+        return {
+            "cores": cores,
+            "docs": n_big,
+            "wall_s": round(wall, 2),
+            "docs_per_sec": round(n_big / wall, 1),
+        }
+    finally:
+        spark.stop()
+
+
 def _run_subprocess(cores: int, replicas: int, sf_dir: str) -> dict:
     """Each measurement in its own process: a stopped SparkContext's JVM
     (and heap sizing) lingers in-process via the py4j gateway, which
@@ -106,7 +151,8 @@ def _run_subprocess(cores: int, replicas: int, sf_dir: str) -> dict:
     import subprocess
 
     out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--one",
+        [sys.executable, os.path.abspath(__file__),
+         "--one-ops" if os.environ.get("SPARK_GRAFT_SCALE_OPS") else "--one",
          str(cores), str(replicas), sf_dir],
         capture_output=True, text=True, check=True,
     )
@@ -120,6 +166,14 @@ def main():
     if len(sys.argv) > 1 and sys.argv[1] == "--one":
         print(json.dumps(run_once(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])))
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "--one-ops":
+        print(json.dumps(run_ops_once(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--ops":
+        # curation-ops scaling: SPARK_GRAFT_SCALE_OPS routes the
+        # subprocess legs to run_ops_once; same interleave/best-of
+        os.environ["SPARK_GRAFT_SCALE_OPS"] = "1"
+        sys.argv = sys.argv[:1] + sys.argv[2:]
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     replicas = int(sys.argv[2]) if len(sys.argv) > 2 else 20
     sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
@@ -132,12 +186,16 @@ def main():
     for _ in range(trials):
         lows.append(_run_subprocess(n, replicas, sf_dir))
         highs.append(_run_subprocess(n * 4, replicas, sf_dir))
-    lo = max(lows, key=lambda r: r["urls_per_sec"])
-    hi = max(highs, key=lambda r: r["urls_per_sec"])
-    eff = hi["urls_per_sec"] / lo["urls_per_sec"] / 4.0
+    ops_mode = bool(os.environ.get("SPARK_GRAFT_SCALE_OPS"))
+    rate = "docs_per_sec" if ops_mode else "urls_per_sec"
+    lo = max(lows, key=lambda r: r[rate])
+    hi = max(highs, key=lambda r: r[rate])
+    eff = hi[rate] / lo[rate] / 4.0
     print(json.dumps({
-        "job": "one frontier round: politeness -> fetch -> extract -> "
-               "persist -> discover -> seen anti-join",
+        "job": ("curation ops: gopher signals + 8-gram decontamination"
+                if ops_mode else
+                "one frontier round: politeness -> fetch -> extract -> "
+                "persist -> discover -> seen anti-join"),
         "trials": trials,
         "low": lo, "high": hi,
         "all": {"low": lows, "high": highs},
