@@ -3503,3 +3503,119 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.col("source"), 4, 10).cast("long") % 3
     )
     return mixture_sample(clean, pct)
+
+
+# -- table / media / metadata extraction fidelity -----------------------------
+
+_TABLES_ORACLE = """
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents)
+SELECT i AS doc_id,
+       'cap ' || CAST(i AS VARCHAR) AS caption,
+       'sum ' || CAST(i % 5 AS VARCHAR) AS summary,
+       'key|val' AS headers_s,
+       CAST(CASE WHEN i % 2 = 1 THEN 2 ELSE 1 END AS BIGINT) AS n_rows,
+       'a' || CAST(i AS VARCHAR) || '|' || CAST(i % 9 AS VARCHAR)
+         || CASE WHEN i % 2 = 1
+                 THEN '~b' || CAST(i AS VARCHAR) || '|'
+                      || CAST((3 * i) % 7 AS VARCHAR)
+                 ELSE '' END AS rows_s
+FROM d
+"""
+
+
+@register("html_tables", _TABLES_ORACLE)
+def html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table data extraction fidelity (content_scraping_strategy table
+    capture: th header row, td body rows, caption element, summary
+    attr): the REAL mapInPandas extractor runs over planted table HTML
+    whose expected extraction is a closed-form function of doc_id."""
+    from crawl4ai_spark.extraction.extract import extract_pages
+
+    i = F.col("doc_id").cast("long")
+    head = F.format_string(
+        '<html><body><p>intro %d</p><table summary="sum %d">'
+        "<caption>cap %d</caption>"
+        "<tr><th>key</th><th>val</th></tr>"
+        "<tr><td>a%d</td><td>%d</td></tr>",
+        i, i % 5, i, i, i % 9,
+    )
+    extra = F.when(
+        i % 2 == 1,
+        F.format_string("<tr><td>b%d</td><td>%d</td></tr>", i, (3 * i) % 7),
+    ).otherwise(F.lit(""))
+    corpus = _t(spark, sf_dir, "documents").select(
+        i.alias("doc_id"),
+        url_expr(i).alias("url"),
+        F.concat(head, extra, F.lit("</table></body></html>")).alias("html"),
+    )
+    pages = extract_pages(corpus, keep_cols=["doc_id"])
+    t = pages.select("doc_id", F.explode("tables").alias("t"))
+    return t.select(
+        "doc_id",
+        F.col("t.caption").alias("caption"),
+        F.col("t.summary").alias("summary"),
+        F.array_join("t.headers", "|").alias("headers_s"),
+        F.size("t.rows").cast("long").alias("n_rows"),
+        F.array_join(
+            F.transform("t.rows", lambda r: F.array_join(r, "|")), "~"
+        ).alias("rows_s"),
+    )
+
+
+_MEDIA_META_ORACLE = """
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents)
+SELECT i AS doc_id, m.kind, m.gid AS group_id,
+       CASE m.kind
+         WHEN 'image' THEN 'https://cdn.example.com/i' || CAST(i AS VARCHAR) || '.png'
+         WHEN 'video' THEN 'https://cdn.example.com/v' || CAST(i AS VARCHAR) || '.mp4'
+         ELSE 'https://cdn.example.com/a' || CAST(i AS VARCHAR) || '.mp3' END AS src,
+       CASE m.kind
+         WHEN 'image' THEN 'img ' || CAST(i % 11 AS VARCHAR)
+         WHEN 'video' THEN 'clip ' || CAST(i % 13 AS VARCHAR)
+         ELSE '' END AS alt,
+       CASE m.kind WHEN 'audio' THEN 'track ' || CAST(i % 17 AS VARCHAR)
+                   ELSE '' END AS "desc",
+       'Doc ' || CAST(i AS VARCHAR) AS og_title,
+       'd' || CAST(i % 23 AS VARCHAR) AS description
+FROM d, (VALUES ('image', 0), ('video', 1), ('audio', 2)) AS m(kind, gid)
+"""
+
+
+@register("html_media_meta", _MEDIA_META_ORACLE)
+def html_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video/audio extraction + metadata extraction fidelity
+    (content_scraping_strategy media capture; utils.py:1496-1580 meta
+    tags): the REAL extractor over planted HTML with one image, one
+    video (title attr -> alt), one audio (aria-label -> desc), and
+    og:title / description meta tags; expected output closed-form."""
+    from crawl4ai_spark.extraction.extract import extract_pages
+
+    i = F.col("doc_id").cast("long")
+    html = F.format_string(
+        '<html><head><meta property="og:title" content="Doc %d"/>'
+        '<meta name="description" content="d%d"/></head>'
+        '<body><img src="https://cdn.example.com/i%d.png" alt="img %d"/>'
+        '<video src="https://cdn.example.com/v%d.mp4" title="clip %d">'
+        "fallback</video>"
+        '<audio aria-label="track %d">'
+        '<source src="https://cdn.example.com/a%d.mp3"/></audio>'
+        "</body></html>",
+        i, i % 23, i, i % 11, i, i % 13, i % 17, i,
+    )
+    corpus = _t(spark, sf_dir, "documents").select(
+        i.alias("doc_id"), url_expr(i).alias("url"), html.alias("html")
+    )
+    pages = extract_pages(corpus, keep_cols=["doc_id"])
+    m = pages.select(
+        "doc_id", "metadata", F.explode("media").alias("m")
+    )
+    return m.select(
+        "doc_id",
+        F.col("m.type").alias("kind"),
+        F.col("m.group_id").cast("int").alias("group_id"),
+        F.col("m.src").alias("src"),
+        F.col("m.alt").alias("alt"),
+        F.col("m.desc").alias("desc"),
+        F.col("metadata")["og:title"].alias("og_title"),
+        F.col("metadata")["description"].alias("description"),
+    )
