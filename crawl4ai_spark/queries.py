@@ -3619,3 +3619,67 @@ def html_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("metadata")["og:title"].alias("og_title"),
         F.col("metadata")["description"].alias("description"),
     )
+
+
+# -- politeness fairness jump + global session cap ----------------------------
+
+_FAIRNESS_ORACLE = f"""
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents),
+f AS (
+  SELECT {_url_sql('i')} AS url_norm,
+         'h' || CAST(i % 5 AS VARCHAR) AS host,
+         CAST((i * 37) % 100 AS DOUBLE) / 10.0 AS priority,
+         CAST(i % 4 AS INT) AS depth,
+         CAST(i % 2 AS INT) AS retry_count,
+         CASE WHEN i % 17 = 0 THEN 6 + CAST(i % 4 AS INT)
+              ELSE CAST(i % 3 AS INT) END AS wait_rounds
+  FROM d
+),
+e AS (
+  SELECT *, CASE WHEN wait_rounds > 5 THEN -1e9 - wait_rounds
+                 ELSE priority + retry_count END AS eff
+  FROM f
+),
+hostsel AS (
+  SELECT * FROM e
+  QUALIFY row_number() OVER (PARTITION BY host
+                             ORDER BY eff ASC, depth ASC, url_norm ASC) <= 10
+),
+globalsel AS (
+  SELECT url_norm FROM hostsel
+  QUALIFY row_number() OVER (ORDER BY eff ASC, depth ASC, url_norm ASC) <= 30
+)
+SELECT e.url_norm,
+       CASE WHEN g.url_norm IS NOT NULL THEN 1 ELSE 0 END AS selected
+FROM e LEFT JOIN globalsel g USING (url_norm)
+"""
+
+
+@register("politeness_fairness", _FAIRNESS_ORACLE)
+def politeness_fairness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fairness requeue (async_dispatcher.py:217-226 starvation jump:
+    wait_rounds > 5 overrides priority) + max_session_permit global cap
+    (bff_strategy.py:161-174) through the REAL select_fetch_batch —
+    per-host budget 10, global budget 30, every host contended, so the
+    salted two-stage prune, the fairness override, and the global
+    TakeOrdered all execute; the oracle replays the selection
+    semantics as plain windows."""
+    from crawl4ai_spark.engine.politeness import select_fetch_batch
+
+    i = F.col("doc_id").cast("long")
+    frontier = _t(spark, sf_dir, "documents").select(
+        url_expr(i).alias("url_norm"),
+        F.concat(F.lit("h"), (i % 5).cast("string")).alias("host"),
+        (((i * 37) % 100).cast("double") / 10.0).alias("priority"),
+        (i % 4).cast("int").alias("depth"),
+        (i % 2).cast("int").alias("retry_count"),
+        F.when(i % 17 == 0, (F.lit(6) + (i % 4)).cast("int"))
+        .otherwise((i % 3).cast("int")).alias("wait_rounds"),
+        (i % 8).cast("int").alias("salt"),
+    )
+    marked = select_fetch_batch(
+        frontier, None, base_budget=10, global_budget=30
+    )
+    return marked.select(
+        "url_norm", F.col("selected").cast("int").alias("selected")
+    )
