@@ -3683,3 +3683,87 @@ def politeness_fairness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return marked.select(
         "url_norm", F.col("selected").cast("int").alias("selected")
     )
+
+
+# -- sitemap seed parsing + scheme fetch --------------------------------------
+
+_SITEMAP_ORACLE = f"""
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents),
+cnt AS ({_CNT}),
+locs AS (
+  SELECT {_url_sql('i')} AS url FROM d
+  UNION ALL
+  SELECT {_url_sql('(i * 2) % n')} FROM d, cnt
+  UNION ALL
+  SELECT {_url_sql('(i + 1) % n')} FROM d, cnt
+)
+SELECT DISTINCT url FROM locs
+"""
+
+
+@register("sitemap_seeds", _SITEMAP_ORACLE)
+def sitemap_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap seeding (async_url_seeder sitemap path): one XML body
+    per doc carrying three <loc> entries (one whitespace-padded, heavy
+    cross-sitemap duplication) -> distinct URL set via the REAL
+    seeds_from_sitemaps regexp parse."""
+    from crawl4ai_spark.sources.seeder import seeds_from_sitemaps
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    i = F.col("doc_id").cast("long")
+    body = F.format_string(
+        '<?xml version="1.0"?><urlset>'
+        "<url><loc>%s</loc></url>"
+        "<url><loc>  %s\n</loc></url>"
+        "<url><loc>%s</loc></url>"
+        "</urlset>",
+        url_expr(i), url_expr((i * 2) % n), url_expr((i + 1) % n),
+    )
+    return seeds_from_sitemaps(docs.select(body.alias("body")))
+
+
+_SCHEME_ORACLE = f"""
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents)
+SELECT CASE i % 3
+         WHEN 0 THEN 'raw://<p>doc ' || CAST(i AS VARCHAR) || '</p>'
+         WHEN 1 THEN 'raw:<p>raw ' || CAST(i AS VARCHAR) || '</p>'
+         ELSE 'file:///nonexistent/c4as/' || CAST(i AS VARCHAR) || '.html'
+       END AS url_norm,
+       CASE i % 3
+         WHEN 0 THEN '<p>doc ' || CAST(i AS VARCHAR) || '</p>'
+         WHEN 1 THEN '<p>raw ' || CAST(i AS VARCHAR) || '</p>'
+         ELSE '' END AS html,
+       CAST(CASE WHEN i % 3 = 2 THEN 404 ELSE 200 END AS INT) AS status_code,
+       CASE WHEN i % 3 = 2 THEN 0 ELSE 1 END AS success
+FROM d
+"""
+
+
+@register("scheme_fetch", _SCHEME_ORACLE)
+def scheme_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """file:// + raw:/raw:// scheme dispatch through the REAL
+    SchemeFetcher (async_crawler_strategy.py:438-492 semantics:
+    raw:// slash-slicing tested before raw:, missing files are
+    row-level 404s, never job failures)."""
+    from crawl4ai_spark.corpus.webgen import build_corpus
+    from crawl4ai_spark.engine.fetch import CorpusFetcher, SchemeFetcher
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    url = (
+        F.when(i % 3 == 0,
+               F.format_string("raw://<p>doc %d</p>", i))
+        .when(i % 3 == 1, F.format_string("raw:<p>raw %d</p>", i))
+        .otherwise(F.format_string("file:///nonexistent/c4as/%d.html", i))
+    )
+    frontier = docs.select(url.alias("url_norm"))
+    fetcher = SchemeFetcher(
+        CorpusFetcher(build_corpus(docs.limit(0), n_docs=1))
+    )
+    out = fetcher.fetch(frontier)
+    return out.select(
+        "url_norm", "html",
+        F.col("status_code").cast("int").alias("status_code"),
+        F.col("success").cast("int").alias("success"),
+    )
