@@ -3767,3 +3767,97 @@ def scheme_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("status_code").cast("int").alias("status_code"),
         F.col("success").cast("int").alias("success"),
     )
+
+
+# -- result cache: read gate + upsert -----------------------------------------
+
+_CACHE_READ_ORACLE = f"""
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents)
+SELECT {_url_sql('i')} AS url_norm,
+       CAST(200 AS INT) AS status_code,
+       CASE WHEN i % 4 = 0 THEN 1 ELSE 0 END AS from_cache,
+       CASE WHEN i % 4 = 0 THEN 1 ELSE 0 END AS cached_marker
+FROM d
+"""
+
+
+@register("cache_read", _CACHE_READ_ORACLE)
+def cache_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CacheMode read gate (cache_context.py:59-87) through the REAL
+    CachedFetcher: every 4th URL is cached (every 8th with a worse
+    duplicate cache row, exercising the deterministic best-row pick),
+    misses fall through to the corpus fetcher; output marks cache hits
+    and whether the served html is the cached body."""
+    from crawl4ai_spark.corpus.webgen import build_corpus
+    from crawl4ai_spark.engine.fetch import CachedFetcher, CorpusFetcher
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    i = F.col("doc_id").cast("long")
+    frontier = docs.select(url_expr(i).alias("url_norm"))
+    good = docs.where(i % 4 == 0).select(
+        url_expr(i).alias("url_norm"),
+        F.format_string("<html>cached %d</html>", i).alias("html"),
+        F.lit(200).alias("status_code"),
+    )
+    # duplicate cache rows for every 8th URL: worse status -> the pick
+    # window (status asc) must keep the good row
+    bad = docs.where(i % 8 == 0).select(
+        url_expr(i).alias("url_norm"),
+        F.lit("<html>stale</html>").alias("html"),
+        F.lit(500).alias("status_code"),
+    )
+    fetcher = CachedFetcher(
+        CorpusFetcher(build_corpus(docs, n_docs=n)), good.unionByName(bad)
+    )
+    out = fetcher.fetch(frontier)
+    return out.select(
+        "url_norm",
+        F.col("status_code").cast("int").alias("status_code"),
+        F.col("from_cache").cast("int").alias("from_cache"),
+        F.col("html").startswith("<html>cached").cast("int")
+        .alias("cached_marker"),
+    )
+
+
+_CACHE_UPSERT_ORACLE = f"""
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents),
+cnt AS ({_CNT})
+SELECT i AS k,
+       CASE WHEN i % 2 = 0 THEN 'new ' ELSE 'old ' END
+         || CAST(i AS VARCHAR) AS v
+FROM d
+UNION ALL
+SELECT i + n, 'ext ' || CAST(i AS VARCHAR) FROM d, cnt WHERE i % 5 = 0
+"""
+
+
+@register("cache_upsert", _CACHE_UPSERT_ORACLE)
+def cache_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Result-cache upsert (Iceberg `MERGE INTO ... ON key`, new rows
+    win — async_database.py:227-248 semantics) through the REAL
+    SnapshotTable.merge_on_key: seed a table with every key, merge a
+    batch of updated evens + brand-new keys, read the committed state
+    back."""
+    import tempfile
+
+    from crawl4ai_spark.engine.tables import Warehouse
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    wh = Warehouse(tempfile.mkdtemp(prefix="c4as_upsert_"))
+    t = wh.table("cache_demo")
+    base = docs.select(
+        i.alias("k"), F.format_string("old %d", i).alias("v")
+    )
+    t.overwrite(base)
+    n = docs.count()
+    updates = docs.where(i % 2 == 0).select(
+        i.alias("k"), F.format_string("new %d", i).alias("v")
+    ).unionByName(
+        docs.where(i % 5 == 0).select(
+            (i + n).alias("k"), F.format_string("ext %d", i).alias("v")
+        )
+    )
+    t.merge_on_key(spark, updates, "k")
+    return t.read(spark).select("k", "v")
