@@ -215,6 +215,20 @@ def normalize_urls_extended_udf(href_col, base_col):
     return _normalize_extended_udf(href_col, base_col)
 
 
+@pandas_udf(StringType())
+def _normalize_fast_udf(href: pd.Series, base: pd.Series) -> pd.Series:
+    return pd.Series(
+        [efficient_normalize_url_for_deep_crawl(h, b)
+         for h, b in zip(href, base)],
+        dtype=object,
+    )
+
+
+def normalize_urls_fast_udf(href_col, base_col):
+    """Column API: the efficient (critical-normalizations-only) variant."""
+    return _normalize_fast_udf(href_col, base_col)
+
+
 def url_host(col):
     """Native host extraction (no Python): lowercased netloc incl. port."""
     return F.lower(F.coalesce(F.parse_url(col, F.lit("HOST")), F.lit("")))

@@ -3861,3 +3861,40 @@ def cache_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t.merge_on_key(spark, updates, "k")
     return t.read(spark).select("k", "v")
+
+
+# -- efficient normalize variant ----------------------------------------------
+
+_NORM_FAST_ORACLE = f"""
+WITH docs AS ({_DOCS_I})
+SELECT i AS doc_id,
+       ('https://site' || CAST(i % {N_HOSTS} AS VARCHAR)
+        || '.example.com/P/' || CAST(i AS VARCHAR)) AS url_a,
+       ('https://base.example.com/dir/up/' || CAST(i AS VARCHAR)
+        || '?q=A b') AS url_b
+FROM docs
+"""
+
+
+@register("url_normalize_fast", _NORM_FAST_ORACLE)
+def url_normalize_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """efficient_normalize_url_for_deep_crawl (utils.py:2276-2302):
+    only resolve + lowercase netloc + trailing-slash strip + fragment
+    drop — path case and the raw query are PRESERVED (unlike the full
+    canonicalizer), which the planted inputs pin down."""
+    from crawl4ai_spark.functions.urlnorm import normalize_urls_fast_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    messy_a = F.format_string(
+        "https://SITE%d.Example.com/P/%d/#frag", F.pmod(i, F.lit(N_HOSTS)), i
+    )
+    messy_b = F.format_string("../up/%d?q=A b#x", i)
+    return docs.select(
+        i.alias("doc_id"),
+        normalize_urls_fast_udf(messy_a, F.lit("https://base.example.com/dir/x"))
+        .alias("url_a"),
+        normalize_urls_fast_udf(
+            messy_b, F.lit("https://Base.EXAMPLE.com/dir/sub/x")
+        ).alias("url_b"),
+    )
