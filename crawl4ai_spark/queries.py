@@ -1565,15 +1565,16 @@ _WINDOW = [
     # streaming windows (tumbling variant in the tail; sessionize + the
     # stateful rate_limiter_fold represent the family)
     "events_sessionize",
-    # dedup family (dedup_lsh_capped is the capped VARIANT of
-    # dedup_minhash_lsh — tail; the cap itself is driver-evidenced by
-    # dedup_ngram_capped's row; dedup_simhash -> tail for round 3:
-    # driver-green in r2, four dedup siblings stay in the window)
-    "dedup_exact", "dedup_minhash_lsh",
-    "dedup_ngram_capped", "dedup_pipeline",
-    # similarity / ANN
-    "embedding_cosine_topk", "ann_signlsh_topk", "embedding_neardup_lsh",
+    # dedup family (dedup_lsh_capped / dedup_ngram_capped are the
+    # capped VARIANTS — tail, both driver-green in r2; dedup_simhash ->
+    # tail for round 3: driver-green in r2, siblings stay in window)
+    "dedup_exact", "dedup_minhash_lsh", "dedup_pipeline",
+    # similarity / ANN (embedding_neardup_lsh -> tail: driver-green in
+    # r2, same sign-LSH bucketing as ann_signlsh_topk which stays)
+    "embedding_cosine_topk", "ann_signlsh_topk",
     "cosine_clusters",
+    # graph authority + mixture sampling (new families, round 3)
+    "link_pagerank", "corpus_mixture_sample",
     # text analysis / chunking / tokenization
     "text_stats", "sanitize_text", "chunks_fixed", "chunks_merge",
     "regex_extract", "regex_builtin_catalog", "bpe_tokens",
@@ -1593,6 +1594,10 @@ _WINDOW = [
 
 _TAIL = [
     "url_base_domain", "dedup_simhash", "jsonxpath_extract",
+    "dedup_ngram_capped", "embedding_neardup_lsh",
+    "curation_pipeline", "html_tables", "html_media_meta",
+    "politeness_fairness", "sitemap_seeds", "scheme_fetch",
+    "cache_read", "cache_upsert", "url_normalize_fast",
     "ann_ivf_topk", "events_tumbling", "dedup_lsh_capped",
     "head_relevance", "head_parse", "tpch_q1_pricing", "events_topk", "jsoncss_nested",
     "multimodal_resize_plan", "adaptive_coverage", "dedup_ngram_jaccard",
