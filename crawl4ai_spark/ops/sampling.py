@@ -59,3 +59,47 @@ def mixture_sample(docs: DataFrame, pct: Column,
         .select("doc_id", "source", "n_tokens", "cum_tokens",
                 "budget_tokens")
     )
+
+
+def pack_sequences(docs: DataFrame, capacity: int,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   strat_col: str = "source") -> DataFrame:
+    """Greedy sequence packing: within each stratum, in deterministic
+    hash order, pack documents into context windows of ``capacity``
+    tokens — the step between sampling and the trainer (a batch is a
+    bin, bin_offset is where the doc's tokens start).
+
+    The greedy fold ("start a new bin when the doc doesn't fit") is
+    inherently sequential per stratum, so this is a legitimate
+    applyInPandas case (vectorized per group, never per-row Python);
+    strata are independent, so the shuffle is one exchange on the
+    stratum key and packing parallelizes across strata. A doc longer
+    than ``capacity`` gets a bin of its own (never split, never
+    dropped). Output: (doc_id, source, n_tokens, bin_id, bin_offset).
+    """
+    import pandas as pd
+
+    d = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(strat_col).alias("source"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+        hash64(F.col(id_col).cast("long").cast("string"), seed="mix")
+        .alias("h"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["h", "doc_id"]).reset_index(drop=True)
+        bins, offs = [], []
+        b, cur = 0, 0
+        for t in pdf["n_tokens"]:
+            if cur > 0 and cur + t > capacity:
+                b, cur = b + 1, 0
+            bins.append(b)
+            offs.append(cur)
+            cur += t
+        pdf["bin_id"], pdf["bin_offset"] = bins, offs
+        return pdf[["doc_id", "source", "n_tokens", "bin_id", "bin_offset"]]
+
+    schema = ("doc_id long, source string, n_tokens long, "
+              "bin_id long, bin_offset long")
+    return d.groupBy("source").applyInPandas(pack, schema)

@@ -3903,3 +3903,52 @@ def url_normalize_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
             messy_b, F.lit("https://Base.EXAMPLE.com/dir/sub/x")
         ).alias("url_b"),
     )
+
+
+# -- sequence packing ----------------------------------------------------------
+
+_PACK_CAPACITY = 512
+
+
+def _pack_oracle() -> str:
+    return f"""
+WITH RECURSIVE d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         {_h64("CAST(doc_id AS VARCHAR)", seed="mix")} AS h
+  FROM documents
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+  FROM d
+),
+rec AS (
+  SELECT source, rn, doc_id, n_tokens,
+         CAST(0 AS BIGINT) AS bin_id, CAST(0 AS BIGINT) AS bin_offset,
+         n_tokens AS cur_end
+  FROM r WHERE rn = 1
+  UNION ALL
+  SELECT r.source, r.rn, r.doc_id, r.n_tokens,
+         CASE WHEN rec.cur_end + r.n_tokens > {_PACK_CAPACITY}
+              THEN rec.bin_id + 1 ELSE rec.bin_id END,
+         CASE WHEN rec.cur_end + r.n_tokens > {_PACK_CAPACITY}
+              THEN CAST(0 AS BIGINT) ELSE rec.cur_end END,
+         CASE WHEN rec.cur_end + r.n_tokens > {_PACK_CAPACITY}
+              THEN r.n_tokens ELSE rec.cur_end + r.n_tokens END
+  FROM rec JOIN r ON r.source = rec.source AND r.rn = rec.rn + 1
+)
+SELECT doc_id, source, n_tokens, bin_id, bin_offset FROM rec
+"""
+
+
+@register("pack_sequences", _pack_oracle())
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy context-window packing (capacity 512 tokens) per source
+    stratum in deterministic hash order — applyInPandas (the fold is
+    sequential per stratum; strata parallelize); the oracle replays the
+    fold as a recursive CTE."""
+    from crawl4ai_spark.ops.sampling import pack_sequences
+
+    return pack_sequences(
+        _t(spark, sf_dir, "documents"), capacity=_PACK_CAPACITY
+    )

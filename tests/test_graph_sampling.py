@@ -93,3 +93,38 @@ def test_mixture_sample_deterministic(spark):
     a = sorted(r["doc_id"] for r in mixture_sample(docs, F.lit(40)).collect())
     b = sorted(r["doc_id"] for r in mixture_sample(docs, F.lit(40)).collect())
     assert a == b and len(a) > 0
+
+
+def test_pack_sequences_hand_checked(spark):
+    from crawl4ai_spark.ops.sampling import pack_sequences
+
+    # one stratum, tokens 6/6/6 with capacity 10 in hash order:
+    # first doc fills bin 0 (offset 0), second doesn't fit -> bin 1,
+    # third -> bin 2; an oversize doc (15 tokens) still gets its own bin
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source="s0", text=" ".join(["w"] * 6))
+         for i in range(3)]
+        + [Row(doc_id=9, source="s1", text=" ".join(["w"] * 15))]
+    )
+    out = {r["doc_id"]: r for r in
+           pack_sequences(docs, capacity=10).collect()}
+    order = sorted(range(3), key=lambda i: (_h60(str(i)), i))
+    for pos, i in enumerate(order):
+        assert out[i]["bin_id"] == pos and out[i]["bin_offset"] == 0
+    assert out[9]["bin_id"] == 0 and out[9]["bin_offset"] == 0
+    assert out[9]["n_tokens"] == 15
+
+
+def test_pack_sequences_offsets(spark):
+    from crawl4ai_spark.ops.sampling import pack_sequences
+
+    # tokens 4/4/4, capacity 10 -> docs 1+2 share bin 0 (offsets 0, 4),
+    # doc 3 starts bin 1
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source="s0", text=" ".join(["w"] * 4))
+         for i in range(3)]
+    )
+    rows = sorted(pack_sequences(docs, capacity=10).collect(),
+                  key=lambda r: (r["bin_id"], r["bin_offset"]))
+    assert [(r["bin_id"], r["bin_offset"]) for r in rows] == \
+        [(0, 0), (0, 4), (1, 0)]
