@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from crawl4ai_spark.ops.text import hash64, tokens, word_ngrams
+from crawl4ai_spark.ops.text import hash64, spread_input, tokens, word_ngrams
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text",
@@ -91,6 +91,7 @@ def lsh_candidate_pairs(
     on, so Catalyst reuses one exchange for both.
     """
     rows = num_hashes // bands
+    df = spread_input(df, id_col)  # compact scans serialize the explode+hash
     # Relational signature build: explode shingles once, then num_hashes
     # vectorized min-aggregations in ONE groupBy (map-side partial
     # combines). The pure-expression form (minhash_signature) recomputes
@@ -177,7 +178,7 @@ def simhash_relational(df: DataFrame, text_col: str = "text",
     """SimHash via explode/groupBy — the shape that scales when docs are
     huge (no wide per-row expression): (id, bit) partial sums combine
     map-side. Output: (doc_id, simhash)."""
-    tok = df.select(
+    tok = spread_input(df, id_col).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
     ).withColumn("h", hash64("tok"))
@@ -218,7 +219,7 @@ def ngram_jaccard_pairs(
     shingle, so capped jaccard <= exact jaccard (pairs can only be
     missed, never inflated — a conservative dedup).
     """
-    sh = df.select(
+    sh = spread_input(df, id_col).select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("sh"),
     ).dropDuplicates(["id", "sh"])

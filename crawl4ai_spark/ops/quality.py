@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from crawl4ai_spark.ops.text import hash64, tokens
+from crawl4ai_spark.ops.text import hash64, spread_input, tokens
 
 # -- Gopher-style repetition signals -----------------------------------------
 
@@ -75,7 +75,7 @@ def gram_counts(df: DataFrame, text_col: str = "text",
     doc id — no hot keys at corpus scale."""
     from pyspark.sql import Window
 
-    w = df.select(
+    w = spread_input(df, id_col).select(
         F.col(id_col).cast("long").alias("id"),
         F.posexplode(tokens(F.col(text_col))).alias("pos", "word"),
     )
@@ -156,7 +156,7 @@ def doc_grams(df: DataFrame, n: int, text_col: str = "text",
               id_col: str = "doc_id") -> DataFrame:
     """(id, gram_hash) — DISTINCT word-n-gram 60-bit hashes per doc."""
     return (
-        df.select(
+        spread_input(df, id_col).select(
             F.col(id_col).cast("long").alias("id"),
             F.explode(_grams(tokens(F.col(text_col)), n)).alias("gram"),
         )

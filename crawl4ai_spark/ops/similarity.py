@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from crawl4ai_spark.ops.text import hash64
+from crawl4ai_spark.ops.text import hash64, spread_input
 
 
 def _dot(a, b):
@@ -59,8 +59,9 @@ def cosine_topk(
     """
     # norms are per-VECTOR, so compute them once before the pair join —
     # same doubles, same divide, but |pairs| fewer interpreted HOF folds
-    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"),
-                      _norm(F.col(vec_col)).alias("vn"))
+    c = spread_input(corpus, id_col).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("vn"))
     q = queries.select(F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("qv"),
                        _norm(F.col(q_vec_col)).alias("qn"))
     scored = (
@@ -126,8 +127,9 @@ def cosine_clusters(
     """
     from crawl4ai_spark.ops.dedup import connected_components_min
 
-    v = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-                   _norm(F.col(vec_col)).alias("nrm"))
+    v = spread_input(emb, id_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("nrm"))
     if use_lsh:
         b = v.withColumn("bucket", sign_lsh_bucket(F.col("v"), n_bits, dim))
         a2, b2 = b.alias("a"), b.alias("b")
@@ -177,7 +179,7 @@ def signlsh_neardup_pairs(
     are dropped wholesale, so pairs are only ever MISSED (conservative);
     the count is a window over the same bucket key the join shuffles
     on, so the exchange is shared."""
-    v = emb.select(
+    v = spread_input(emb, id_col).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
         _norm(F.col(vec_col)).alias("nrm"),
         sign_lsh_bucket(F.col(vec_col), n_bits, dim).alias("bucket"),
@@ -290,7 +292,7 @@ def ivf_topk(
     probed), which pins the recall/efficiency dial to a testable
     endpoint. Output: (q_id, vec_id, cos, rank), rank 1..k.
     """
-    c = corpus.select(
+    c = spread_input(corpus, id_col).select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"),
         _norm(F.col(vec_col)).alias("vn"),
         ivf_cell(F.col(vec_col), n_cells, dim).alias("cell"),
@@ -328,7 +330,7 @@ def signlsh_topk(
 ) -> DataFrame:
     """Approximate top-k: exact cosine ranking *within* the query's
     sign-LSH bucket. Output: (q_id, vec_id, cos, rank)."""
-    c = corpus.select(
+    c = spread_input(corpus, id_col).select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"),
         _norm(F.col(vec_col)).alias("vn"),
         sign_lsh_bucket(F.col(vec_col), n_bits, dim).alias("bucket"),

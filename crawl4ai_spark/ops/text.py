@@ -324,3 +324,27 @@ def regex_extract_tokens(df: DataFrame, text_col: str, pattern: str,
         .agg(F.count(F.lit(1)).alias("n"))
         .withColumn("label", F.lit(label))
     )
+
+
+def spread_input(df: DataFrame, key, min_headroom: int = 2) -> DataFrame:
+    """Width guard for per-row-heavy stages (shingle/gram explode +
+    per-element hashing, per-vector bucket HOFs).
+
+    Spark sizes scan splits by BYTES, so a compact parquet file —
+    kilobytes for thousands of docs — scans as ONE partition, and the
+    whole pre-exchange pipeline after it runs in one task (the same
+    pathology the crawl round fixes with repartition(n, url_hash),
+    engine/frontier.py). Repartition by the key only when the incoming
+    plan is at least ``min_headroom``x narrower than the session's
+    parallelism; at real corpus scale the scan is already wide and this
+    adds NO exchange. REPARTITION_BY_NUM is never AQE-coalesced, so the
+    width sticks.
+    """
+    try:
+        parts = df.rdd.getNumPartitions()
+        target = df.sparkSession.sparkContext.defaultParallelism
+    except Exception:
+        return df
+    if parts * min_headroom <= target:
+        return df.repartition(target, _c(key))
+    return df
