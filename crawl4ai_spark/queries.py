@@ -62,7 +62,15 @@ _CNT = "SELECT COUNT(*) AS n FROM documents"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Table reader with the scan-width guard: a compact test-scale
+    parquet file scans as ONE partition (splits are sized by bytes), so
+    every per-row-heavy pipeline after it — mapInPandas extraction,
+    pandas UDFs, explode+hash — would run single-task. spread_input is
+    a no-op once the scan is naturally wide (production scale)."""
+    from crawl4ai_spark.ops.text import spread_input
+
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return spread_input(df, df.columns[0])
 
 
 QUERIES: dict = {}
