@@ -263,7 +263,12 @@ def main():
             "# PLANS — physical-plan evidence for the scale-critical operators\n\n"
             "Generated by `python tools/explain_plans.py` (Spark "
             f"{spark.version}, AQE on). Each section states the property the\n"
-            "plan must keep at 100 TB and shows the actual plan at sf0.01.\n"
+            "plan must keep at 100 TB and shows the actual plan at sf0.01.\n\n"
+            "Note: `REPARTITION_BY_NUM` exchanges right above a scan are the\n"
+            "scan-width guard (ops/text.spread_input): compact TEST files scan\n"
+            "as one partition, so the guard widens them; on a production-scale\n"
+            "scan (already wide) the guard is a no-op and the exchange is\n"
+            "absent.\n"
         )
         for title, why, plan in sections:
             f.write(f"\n## {title}\n\n{why}\n\n```\n{plan}\n```\n")
