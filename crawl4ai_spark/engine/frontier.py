@@ -574,6 +574,13 @@ class CrawlEngine:
                 self._to_state(hs).withColumn("tag", F.lit("h"))
             )
 
+        # the union of tag branches SUMS their partition counts (~4x the
+        # session width of near-empty partitions at round tails), so the
+        # tagged write would launch ~4x the tasks and write ~4x the
+        # files the next round's scans re-open. coalesce is a narrow
+        # merge back to session width — no shuffle, same parallelism.
+        width = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        state = state.coalesce(width)
         obs_state = Observation()
         state = state.observe(
             obs_state,
