@@ -102,7 +102,13 @@ class DFSEngine:
             seed_norm = normalize_url_for_deep_crawl(seed, seed)
             st = {
                 "stack": [[seed_norm, None, 0]],  # (url, parent, depth), top=end
-                "visited": [],                     # discovery-time set
+                # discovery-time set, pre-seeded with the start URL: the
+                # reference's pop-time visited.add (dfs_strategy.py:35)
+                # protects the seed from re-crawl when a descendant links
+                # back to it — unlike BFS, whose _arun_batch never adds the
+                # seed (that quirk is kept in frontier.py, matching the
+                # reference's asymmetry between the two strategies)
+                "visited": [seed_norm],
                 "crawled": 0,                      # successful fetches
                 "step": 0,
                 "pages": self.t_pages.snapshot_data(),

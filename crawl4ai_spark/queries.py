@@ -1892,7 +1892,7 @@ cnt AS ({_CNT}),
 walk AS (
   SELECT 0 AS step,
          [{{'id': CAST(0 AS BIGINT), 'parent': CAST(NULL AS BIGINT), 'depth': 0}}] AS stack,
-         CAST([] AS BIGINT[]) AS visited,
+         [CAST(0 AS BIGINT)] AS visited,
          CAST([] AS STRUCT(id BIGINT, parent BIGINT, depth INTEGER)[]) AS pages,
          0 AS crawled
   FROM cnt

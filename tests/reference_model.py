@@ -101,8 +101,10 @@ def reference_dfs(
     link_discovery's DISCOVERY-time visited.add — see engine/dfs.py's
     docstring for why the literal pop-time re-check is vacuous):
     returns crawl_log rows (url, depth, parent, success) in exact DFS
-    preorder."""
-    visited: set[str] = set()
+    preorder. The seed starts in `visited`, mirroring the reference's
+    pop-time visited.add (dfs_strategy.py:35) which protects the seed
+    from re-crawl via backlinks (BFS deliberately lacks this)."""
+    visited: set[str] = {seed}
     stack = [(seed, None, 0)]
     log = []
     crawled = 0

@@ -63,6 +63,23 @@ def test_dfs_differs_from_bfs_order(spark, tmp_path, web):
     assert depths.index(3) < max(i for i, d in enumerate(depths) if d == 1)
 
 
+def test_dfs_seed_backlink_not_recrawled(spark, tmp_path, web):
+    """The seed starts in `visited` (dfs_strategy.py:35 pop-time add):
+    fakeshop category pages link back to /index.html, so without the
+    pre-seed the walk would re-push and re-crawl the seed, double-counting
+    it toward max_pages and shifting the preorder."""
+    assert any(
+        SEED in (u for u, _i in page["links"]) for page in web.values()
+    ), "corpus must contain a backlink to the seed for this test to bite"
+    eng = DFSEngine(spark, Warehouse(str(tmp_path / "e")),
+                    CorpusFetcher(_corpus_df(spark)), max_depth=3)
+    eng.run(SEED)
+    order = _crawl_order(eng, spark)
+    assert sum(1 for (u, _d, _p) in order if u == SEED) == 1
+    log, _ = reference_dfs(web, SEED, max_depth=3)
+    assert sum(1 for (u, _d, _p, _s) in log if u == SEED) == 1
+
+
 def test_dfs_resume_equals_uninterrupted(spark, tmp_path, web):
     full = DFSEngine(spark, Warehouse(str(tmp_path / "c")),
                      CorpusFetcher(_corpus_df(spark)), max_depth=3, max_pages=9)
