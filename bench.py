@@ -7,6 +7,17 @@ Prints ONE JSON line:
 
 Each query is forced end-to-end with the noop sink (full computation,
 no collect-to-driver, no column pruning of the measured work).
+
+Contention protocol (the host is SHARED and noisy-neighbor bursts
+routinely inflate a single sample 2-7x — BENCH.md's variance model):
+every headline query and both crawl benches take TWO samples with the
+min reported and BOTH disclosed in the `samples` field, and each
+sample is load-gated — if the 1-min loadavg exceeds
+$SPARK_GRAFT_LOAD_GATE (default 6.0) the sample waits, within a shared
+$SPARK_GRAFT_GATE_BUDGET-second budget (default 240), for the host to
+quiet down. Gate decisions (who waited, how long, the load seen) are
+logged into the JSON under `load_gate` so the record itself shows
+whether a number was taken under contention.
 """
 
 from __future__ import annotations
@@ -19,9 +30,41 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+GATE_THRESHOLD = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "6.0"))
+GATE_POLL_S = 5.0
+
 
 def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+class LoadGate:
+    """Per-sample admission gate: wait (within a shared suite-wide
+    budget) for the 1-min loadavg to drop below the threshold, and
+    record every wait so the JSON discloses contention at sample
+    start. The budget bounds worst-case suite wall time; once spent,
+    samples start regardless and the residual load is still logged."""
+
+    def __init__(self, budget_s: float):
+        self.left = budget_s
+        self.events: list[dict] = []
+
+    def admit(self, sample: str) -> float:
+        load = os.getloadavg()[0]
+        waited = 0.0
+        while load > GATE_THRESHOLD and self.left > 0:
+            step = min(GATE_POLL_S, self.left)
+            time.sleep(step)
+            waited += step
+            self.left -= step
+            load = os.getloadavg()[0]
+        if waited or load > GATE_THRESHOLD:
+            self.events.append({
+                "sample": sample,
+                "waited_s": round(waited, 1),
+                "load_at_start": round(load, 2),
+            })
+        return load
 
 
 def bench_crawl(spark, sf_dir: str, max_depth: int = 6) -> tuple[float, int]:
@@ -119,18 +162,30 @@ def main() -> None:
         "decontaminate",
     ]
 
+    gate = LoadGate(float(os.environ.get("SPARK_GRAFT_GATE_BUDGET", "240")))
+
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
-    # The two crawl benches run minutes-long on a SHARED host whose
-    # noisy-neighbor bursts routinely inflate a single sample 2-7x
-    # (BENCH.md documents the variance model); two samples with min
-    # reported — and BOTH disclosed in the `samples` field — keeps one
-    # unlucky burst from masquerading as a regression.
-    mass_runs = [bench_crawl_mass(spark, sf_dir) for _ in range(2)]
+    # Min-of-2 with BOTH samples disclosed, for the crawl benches AND
+    # every headline query: the host is SHARED and noisy-neighbor
+    # bursts routinely inflate a single sample 2-7x (BENCH.md's
+    # variance model); min-of-2 keeps one unlucky burst from
+    # masquerading as a regression, and the disclosed samples let a
+    # reader see the spread. Each sample is additionally load-gated
+    # (LoadGate above) so it starts in as quiet a window as the budget
+    # allows. Each sample rebuilds the DataFrame from scratch (fresh
+    # plan, no exchange reuse across samples).
+    mass_runs = []
+    for i in range(2):
+        gate.admit(f"crawl_mass_round#{i}")
+        mass_runs.append(bench_crawl_mass(spark, sf_dir))
     mass_s, mass_urls = min(mass_runs, key=lambda r: r[0])
     timings["crawl_mass_round"] = round(mass_s, 3)
     samples["crawl_mass_round"] = [round(s, 3) for s, _ in mass_runs]
-    crawl_runs = [bench_crawl(spark, sf_dir) for _ in range(2)]
+    crawl_runs = []
+    for i in range(2):
+        gate.admit(f"crawl_bfs_d6#{i}")
+        crawl_runs.append(bench_crawl(spark, sf_dir))
     crawl_s, crawl_pages = min(crawl_runs, key=lambda r: r[0])
     timings["crawl_bfs_d6"] = round(crawl_s, 3)
     samples["crawl_bfs_d6"] = [round(s, 3) for s, _ in crawl_runs]
@@ -140,9 +195,14 @@ def main() -> None:
 
     for name in headline:
         fn = Q.QUERIES[name]
-        t0 = time.monotonic()
-        _force(fn(spark, sf_dir))
-        timings[name] = round(time.monotonic() - t0, 3)
+        runs = []
+        for i in range(2):
+            gate.admit(f"{name}#{i}")
+            t0 = time.monotonic()
+            _force(fn(spark, sf_dir))
+            runs.append(time.monotonic() - t0)
+        timings[name] = round(min(runs), 3)
+        samples[name] = [round(s, 3) for s in runs]
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -157,6 +217,11 @@ def main() -> None:
         "crawl_urls_per_sec": round(mass_urls / mass_s, 2) if mass_s else None,
         "crawl_loop_urls_per_sec": round(crawl_pages / crawl_s, 2) if crawl_s else None,
         "cpus": int(cpus),
+        "load_gate": {
+            "threshold": GATE_THRESHOLD,
+            "budget_left_s": round(gate.left, 1),
+            "events": gate.events,
+        },
     }))
     spark.stop()
 

@@ -34,11 +34,16 @@ def url_expr(i):
     )
 
 
-def children_expr(i, n_docs: int):
-    """Array of child ids < n_docs, in CHILD_FACTORS order."""
+def children_expr(i, n_docs):
+    """Array of child ids < n_docs, in CHILD_FACTORS order. n_docs may
+    be a Python int or a Column (e.g. a broadcast scalar count, so
+    callers need no driver-side count job)."""
+    from pyspark.sql import Column
+
+    n = n_docs if isinstance(n_docs, Column) else F.lit(n_docs)
     return F.filter(
         F.array(*[i * a + b for a, b in CHILD_FACTORS]),
-        lambda c: c < F.lit(n_docs),
+        lambda c: c < n,
     )
 
 

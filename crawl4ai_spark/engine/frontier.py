@@ -160,6 +160,22 @@ STATE_FIELDS = FRONTIER_FIELDS + [
 
 _SEEN_COLS = ["url_hash", "url_norm", "depth", "parent_url", "round"]
 
+_state_struct_cache = None
+
+
+def _state_struct():
+    """STATE_FIELDS as a StructType — the declared parquet schema of
+    every tagged state dir, passed to adopt_dirs so the table read
+    cache never re-reads footers AND never goes stale (tables.py)."""
+    global _state_struct_cache
+    if _state_struct_cache is None:
+        from pyspark.sql import types as T
+
+        _state_struct_cache = T.StructType.fromDDL(
+            ", ".join(f"{n} {t}" for n, t in STATE_FIELDS)
+        )
+    return _state_struct_cache
+
 
 class CrawlEngine:
     def __init__(
@@ -597,13 +613,17 @@ class CrawlEngine:
         self._seen_count += n_new
 
         tag_dirs = self.wh.existing_tag_dirs(state_dir)
+        st_schema = _state_struct()
         self.t_frontier.adopt_dirs(
-            [d for t, d in tag_dirs.items() if t in ("n", "d")], mode="overwrite"
+            [d for t, d in tag_dirs.items() if t in ("n", "d")],
+            mode="overwrite", schema=st_schema,
         )
         if "n" in tag_dirs:
-            self.t_seen.adopt_dirs([tag_dirs["n"]], mode="append")
+            self.t_seen.adopt_dirs(
+                [tag_dirs["n"]], mode="append", schema=st_schema)
         if "h" in tag_dirs:
-            self.t_host.adopt_dirs([tag_dirs["h"]], mode="overwrite")
+            self.t_host.adopt_dirs(
+                [tag_dirs["h"]], mode="overwrite", schema=st_schema)
 
         marked.unpersist()
         for df in self._scratch:

@@ -27,6 +27,17 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _nullable(schema):
+    """Nullable-normalized copy: file sources treat user-supplied
+    schemas as nullable anyway, and cast/lit nullability noise must not
+    flap the read-schema cache."""
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in schema]
+    )
+
+
 class SnapshotTable:
     def __init__(self, path: str):
         self.path = path
@@ -38,6 +49,14 @@ class SnapshotTable:
         # reads tables several times per round, so this is a real slice
         # of the per-round serial floor). First read infers and caches;
         # later reads pass the schema and skip footer I/O entirely.
+        # Every write path keeps the cache honest: overwrite() re-pins
+        # it to the new data's schema, append()/adopt_dirs() invalidate
+        # on mismatch (or on undeclared external data), and
+        # rollback_to()/append_rows() invalidate outright — so a schema
+        # evolution within the instance's lifetime (e.g. resuming a
+        # pre-upgrade warehouse, then appending new-schema rows) never
+        # reads through a stale schema that would silently drop the new
+        # columns.
         self._schema = None
 
     # -- manifest ----------------------------------------------------------
@@ -79,7 +98,7 @@ class SnapshotTable:
         if self._schema is not None:
             return spark.read.schema(self._schema).parquet(*dirs)
         df = spark.read.parquet(*dirs)
-        self._schema = df.schema
+        self._schema = _nullable(df.schema)
         return df
 
     def overwrite(self, df: DataFrame) -> int:
@@ -93,6 +112,7 @@ class SnapshotTable:
         rel = self._write_datadir(df)
         m = {"version": m["version"] + 1, "data": [rel]}
         self._commit(m)
+        self._schema = _nullable(df.schema)  # table now holds exactly this data
         return m["version"]
 
     def vacuum(self, keep: set[str]) -> None:
@@ -103,17 +123,32 @@ class SnapshotTable:
 
     def append(self, df: DataFrame) -> int:
         """Append-only fast path (Iceberg AppendFiles): no rewrite."""
+        if self._schema is not None and _nullable(df.schema) != self._schema:
+            self._schema = None  # mixed-schema dirs: re-infer on next read
         m = self._read_manifest()
         rel = self._write_datadir(df)
         m = {"version": m["version"] + 1, "data": m["data"] + [rel]}
         self._commit(m)
         return m["version"]
 
-    def adopt_dirs(self, abs_dirs: list[str], mode: str = "append") -> int:
+    def adopt_dirs(
+        self, abs_dirs: list[str], mode: str = "append", schema=None
+    ) -> int:
         """Commit externally-written parquet dirs (e.g. one tag subtree of
         a shared partitioned write) as this table's next snapshot without
         rewriting any data — the Iceberg AppendFiles/ReplaceFiles analogue
-        that lets one Spark job feed several tables."""
+        that lets one Spark job feed several tables.
+
+        `schema` declares the adopted dirs' parquet schema so the read
+        cache stays warm (the engine's tagged state write has a fixed
+        one); without a declaration the cache is invalidated — a footer
+        re-read beats a silently stale schema."""
+        if mode == "overwrite":
+            self._schema = _nullable(schema) if schema is not None else None
+        elif self._schema is not None and (
+            schema is None or _nullable(schema) != self._schema
+        ):
+            self._schema = None
         rels = [os.path.relpath(d, self.path) for d in abs_dirs]
         m = self._read_manifest()
         data = rels if mode == "overwrite" else m["data"] + rels
@@ -138,6 +173,7 @@ class SnapshotTable:
         m = self._read_manifest()
         m = {"version": m["version"] + 1, "data": m["data"] + [rel]}
         self._commit(m)
+        self._schema = None  # arrow-written dir: re-infer on next read
         return m["version"]
 
     def merge_on_key(self, spark: SparkSession, df: DataFrame, key: str) -> int:
@@ -157,6 +193,7 @@ class SnapshotTable:
 
     def rollback_to(self, version_data: list[str]) -> None:
         self._commit({"version": self.version + 1, "data": version_data})
+        self._schema = None  # restored dirs may predate the cached schema
 
     def snapshot_data(self) -> list[str]:
         return list(self._read_manifest()["data"])

@@ -64,10 +64,11 @@ def bm25_scores(
         .pivot("t", terms)
         .agg(F.countDistinct(id_col))
     )
-    dfrow = tdf.select(
-        "__k",
-        *[F.col(f"`{t}`").alias(f"__df_{i}") for i, t in enumerate(terms)],
-    )
+    # positional rename (toDF): pivot output columns follow the explicit
+    # values order, and renaming by position never resolves a raw query
+    # term as a column name — a term containing a backtick (or any other
+    # pathological character) would break name-based resolution
+    dfrow = tdf.toDF("__k", *[f"__df_{i}" for i in range(len(terms))])
     dims = stats.join(F.broadcast(dfrow), "__k", "left")
 
     def _eq(term):

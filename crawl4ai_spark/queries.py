@@ -3333,11 +3333,13 @@ def link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crawl4ai_spark.ops.graph import pagerank_int
 
     docs = _t(spark, sf_dir, "documents")
-    n = docs.count()
+    # N as a broadcast 1-row dim, not a driver count job — the engine's
+    # no-setup-jobs discipline applies to the harness too
+    cnt = docs.agg(F.count(F.lit(1)).cast("long").alias("__n"))
     i = F.col("doc_id").cast("long")
     nodes = docs.select(i.alias("node"))
-    edges = docs.select(
-        i.alias("src"), F.explode(children_expr(i, n)).alias("dst")
+    edges = docs.crossJoin(F.broadcast(cnt)).select(
+        i.alias("src"), F.explode(children_expr(i, F.col("__n"))).alias("dst")
     )
     out = pagerank_int(nodes, edges, n_iter=_PR_ITER)
     return out.select(F.col("node").alias("doc_id"), "rank_scaled")
@@ -3723,8 +3725,9 @@ def sitemap_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crawl4ai_spark.sources.seeder import seeds_from_sitemaps
 
     docs = _t(spark, sf_dir, "documents")
-    n = docs.count()
+    cnt = docs.agg(F.count(F.lit(1)).cast("long").alias("__n"))
     i = F.col("doc_id").cast("long")
+    n = F.col("__n")
     body = F.format_string(
         '<?xml version="1.0"?><urlset>'
         "<url><loc>%s</loc></url>"
@@ -3733,7 +3736,9 @@ def sitemap_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
         "</urlset>",
         url_expr(i), url_expr((i * 2) % n), url_expr((i + 1) % n),
     )
-    return seeds_from_sitemaps(docs.select(body.alias("body")))
+    return seeds_from_sitemaps(
+        docs.crossJoin(F.broadcast(cnt)).select(body.alias("body"))
+    )
 
 
 _SCHEME_ORACLE = f"""
@@ -3805,7 +3810,7 @@ def cache_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crawl4ai_spark.engine.fetch import CachedFetcher, CorpusFetcher
 
     docs = _t(spark, sf_dir, "documents")
-    n = docs.count()
+    cnt = docs.agg(F.count(F.lit(1)).cast("long").alias("__n"))
     i = F.col("doc_id").cast("long")
     frontier = docs.select(url_expr(i).alias("url_norm"))
     good = docs.where(i % 4 == 0).select(
@@ -3821,7 +3826,9 @@ def cache_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(500).alias("status_code"),
     )
     fetcher = CachedFetcher(
-        CorpusFetcher(build_corpus(docs, n_docs=n)), good.unionByName(bad)
+        CorpusFetcher(build_corpus(
+            docs.crossJoin(F.broadcast(cnt)), n_docs=F.col("__n"))),
+        good.unionByName(bad),
     )
     out = fetcher.fetch(frontier)
     return out.select(
@@ -3864,12 +3871,13 @@ def cache_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         i.alias("k"), F.format_string("old %d", i).alias("v")
     )
     t.overwrite(base)
-    n = docs.count()
+    cnt = docs.agg(F.count(F.lit(1)).cast("long").alias("__n"))
     updates = docs.where(i % 2 == 0).select(
         i.alias("k"), F.format_string("new %d", i).alias("v")
     ).unionByName(
-        docs.where(i % 5 == 0).select(
-            (i + n).alias("k"), F.format_string("ext %d", i).alias("v")
+        docs.where(i % 5 == 0).crossJoin(F.broadcast(cnt)).select(
+            (i + F.col("__n")).alias("k"),
+            F.format_string("ext %d", i).alias("v"),
         )
     )
     t.merge_on_key(spark, updates, "k")

@@ -110,14 +110,21 @@ class TopicLog:
         KafkaMiddleware.send). Offsets are assigned by a single
         total-order window — correct because the log is one partition
         by contract; a multi-partition topic would shard this by a
-        (topic, partition) hash instead."""
+        (topic, partition) hash instead. Intra-batch order is PRODUCER
+        order, as real single-partition Kafka preserves it: a
+        monotonically_increasing_id captured on the input df before the
+        topic split encodes (partition, position) — the batch's send
+        order — so consumers of the stand-in log observe the same
+        ordering the reference middleware's sequential produce() loop
+        (producer.py:104-116) would yield."""
+        seq = messages.withColumn("__seq", F.monotonically_increasing_id())
         topics = [r.topic for r in messages.select("topic").distinct().collect()]
         for topic in topics:
             self.ensure_topic(topic)
             base = self.next_offset(topic)
-            batch = messages.where(F.col("topic") == topic)
+            batch = seq.where(F.col("topic") == topic)
             from pyspark.sql import Window
-            w = Window.orderBy(F.col("key").asc(), F.col("value").asc())
+            w = Window.orderBy(F.col("__seq").asc())
             out = batch.select(
                 (F.lit(base) + F.row_number().over(w) - 1).alias("offset"),
                 "key", "value",
