@@ -14,6 +14,10 @@ O(vocabulary merge), never O(corpus re-tokenization):
   a_sample(doc_id, text)               running min-K doc sample
   a_kb(url_hash)                       keys already in the knowledge
                                        base (dedups seed re-crawls)
+  a_qbest(query_id, split, best_sim)   EmbeddingStrategy: running best
+                                       cosine per query variation
+  a_conf(check_idx, confidence)        EmbeddingStrategy: per-check
+                                       confidence history
 
 Metric parity with the one-shot ``ops.adaptive.confidence_metrics`` is
 exact (tests/test_adaptive_stop.py pins both against an independent
@@ -32,7 +36,7 @@ model):
 * the consistency sample is min-K by doc_id, and min-K of a union is
   min-K of (previous min-K ∪ delta) — the running sample is exact.
 
-All four tables are SnapshotTables in the crawl warehouse: they commit
+All six tables are SnapshotTables in the crawl warehouse: they commit
 with the round checkpoint and roll back with it on resume.
 """
 
@@ -50,12 +54,18 @@ class AdaptiveState:
         self.t_rounds = warehouse.table("a_rounds")
         self.t_sample = warehouse.table("a_sample")
         self.t_kb = warehouse.table("a_kb")
+        # EmbeddingStrategy state (ops/adaptive_embedding.py): running
+        # per-query best cosine vs the KB, and the per-check confidence
+        # history the convergence fold reads
+        self.t_qbest = warehouse.table("a_qbest")
+        self.t_conf = warehouse.table("a_conf")
         self.sample_k = sample_k
 
     @property
     def tables(self) -> list[tuple[str, object]]:
         return [("a_terms", self.t_terms), ("a_rounds", self.t_rounds),
-                ("a_sample", self.t_sample), ("a_kb", self.t_kb)]
+                ("a_sample", self.t_sample), ("a_kb", self.t_kb),
+                ("a_qbest", self.t_qbest), ("a_conf", self.t_conf)]
 
     # ------------------------------------------------------------------
     def update(self, spark: SparkSession, delta_docs: DataFrame) -> None:
@@ -179,3 +189,81 @@ class AdaptiveState:
         conf = 0.4 * cov + 0.3 * cons + 0.3 * sat
         return {"coverage": cov, "consistency": cons,
                 "saturation": sat, "confidence": conf}
+
+    # -- EmbeddingStrategy state (ops/adaptive_embedding.py) ------------
+    def update_embedding(
+        self, spark: SparkSession, delta_docs: DataFrame,
+        queries: DataFrame, dim: int = 64,
+    ) -> None:
+        """Fold a window of newly-crawled docs into the running
+        per-query best-similarity table. best cosine is monotone under
+        KB appends, so max(previous best, best over the delta) is exact
+        — the check costs O(new pages this window), never O(corpus)
+        (the reference recomputes its full query x KB distance matrix
+        whenever the KB changes, adaptive_crawler.py:693-710).
+
+        ``delta_docs``: (doc_id, url_hash, text, round), repeats
+        possible — same contract as :meth:`update`.
+        """
+        from crawl4ai_spark.ops import adaptive_embedding as ae
+
+        # in-window + cross-window dedup, exactly like update(): the
+        # KB keys by url_hash, re-fetches contribute nothing
+        delta = (
+            delta_docs.groupBy("doc_id")
+            .agg(F.min(F.struct("round", "text")).alias("rt"),
+                 F.first("url_hash").alias("url_hash"))
+            .select("doc_id", "url_hash", F.col("rt.text").alias("text"))
+        )
+        kb = self.t_kb.read(spark)
+        if kb is not None:
+            delta = delta.join(kb, "url_hash", "left_anti")
+        delta = delta.persist()
+        try:
+            vecs = delta.select(
+                ae.hash_embed(F.col("text"), dim=dim).alias("embedding")
+            )
+            delta_best = ae.best_similarity(vecs, queries)
+            merged = ae.merge_best(self.t_qbest.read(spark), delta_best)
+            # overwrite() writes the new dir before the commit, so the
+            # read of the previous snapshot inside merge_best is safe
+            self.t_qbest.overwrite(merged)
+            self.t_kb.append(delta.select("url_hash"))
+        finally:
+            delta.unpersist()
+
+    def embedding_metrics(self, spark: SparkSession) -> dict:
+        """confidence / validation / gap summary from the running
+        per-query best table alone (a handful of rows), appending this
+        check's confidence to the history the convergence fold reads
+        (should_stop_embedding). Returns {'confidence', 'val_score',
+        'history', 'n_covered', 'n_queries'}."""
+        import pyarrow as pa
+
+        from crawl4ai_spark.ops.adaptive_embedding import COVERAGE_RADIUS
+
+        bs = self.t_qbest.read(spark)
+        if bs is None:
+            return {"confidence": 0.0, "val_score": 0.0, "history": [0.0],
+                    "n_covered": 0, "n_queries": 0}
+        # n_train + n_val rows by construction; query_id order makes the
+        # python mean's summation order deterministic
+        rows = sorted(bs.collect(), key=lambda r: r.query_id)
+        train = [r.best_sim for r in rows if r.split == "train"]
+        val = [r.best_sim for r in rows if r.split == "val"]
+        conf = round(sum(train) / len(train), 6) if train else 0.0
+        val_score = round(sum(val) / len(val), 6) if val else 0.0
+        n_cov = sum(1 for r in rows if 1.0 - r.best_sim <= COVERAGE_RADIUS)
+
+        prev = self.t_conf.read(spark)
+        hist = ([float(r.confidence) for r in
+                 prev.orderBy("check_idx").collect()] if prev is not None
+                else [])
+        self.t_conf.append_rows(
+            [(len(hist), conf)],
+            pa.schema([("check_idx", pa.int64()),
+                       ("confidence", pa.float64())]),
+        )
+        hist.append(conf)
+        return {"confidence": conf, "val_score": val_score,
+                "history": hist, "n_covered": n_cov, "n_queries": len(rows)}

@@ -131,6 +131,10 @@ class CrawlConfig:
     # 1325-1349 + should_stop :505-523): dict with `query_terms` plus
     # optional confidence_threshold (0.7), saturation_threshold (0.8),
     # check_every (rounds between confidence evaluations). None = off.
+    # strategy="embedding" switches to EmbeddingStrategy's semantic-
+    # coverage stop (ops/adaptive_embedding.py): keys `query` (string),
+    # optional n_train/n_val/dim/min_confidence/min_rel_improvement/
+    # validation_min.
     adaptive: Optional[dict] = None
 
 
@@ -371,8 +375,9 @@ class CrawlEngine:
                     if (stats["rounds"] % every) == 0:
                         m = self._adaptive_metrics(rnd)
                         stats["adaptive"] = m
-                        if self._adaptive_should_stop(m):
-                            stats["stopped_by"] = "adaptive_confidence"
+                        if self._adaptive_should_stop(m, crawled):
+                            stats["stopped_by"] = m.get(
+                                "stop_reason", "adaptive_confidence")
                             break
         finally:
             # the session is shared with non-engine queries — restore
@@ -398,17 +403,46 @@ class CrawlEngine:
                 "round",
             )
         )
+        a = self.cfg.adaptive
+        if a.get("strategy") == "embedding":
+            from crawl4ai_spark.ops import adaptive_embedding as ae
+
+            dim = a.get("dim", 64)
+            queries = ae.query_variations(
+                self.spark, a["query"],
+                n_train=a.get("n_train", 5), n_val=a.get("n_val", 2),
+                dim=dim,
+            )
+            self.adaptive_state.update_embedding(
+                self.spark, delta, queries, dim=dim)
+            self._adaptive_last_round = rnd
+            return self.adaptive_state.embedding_metrics(self.spark)
         self.adaptive_state.update(self.spark, delta)
         self._adaptive_last_round = rnd
         return self.adaptive_state.metrics(
             self.spark, self.cfg.adaptive["query_terms"]
         )
 
-    def _adaptive_should_stop(self, m: dict) -> bool:
-        """should_stop (adaptive_crawler.py:505-523): confidence OR
-        saturation crossing its threshold stops the crawl (page/link
-        exhaustion is already handled by the main loop)."""
+    def _adaptive_should_stop(self, m: dict, crawled: int = 0) -> bool:
+        """Statistical strategy: should_stop (adaptive_crawler.py:
+        505-523) — confidence OR saturation crossing its threshold
+        stops the crawl (page/link exhaustion is already handled by the
+        main loop). Embedding strategy: the convergence-plus-validation
+        fold (should_stop :1090-1139, ops/adaptive_embedding.py)."""
         a = self.cfg.adaptive
+        if a.get("strategy") == "embedding":
+            from crawl4ai_spark.ops import adaptive_embedding as ae
+
+            stop, reason = ae.should_stop_embedding(
+                m["history"], m["val_score"], crawled,
+                min_confidence=a.get("min_confidence", ae.MIN_CONFIDENCE),
+                min_rel_improvement=a.get(
+                    "min_rel_improvement", ae.MIN_REL_IMPROVEMENT),
+                validation_min=a.get("validation_min", ae.VALIDATION_MIN),
+            )
+            if reason:
+                m["stop_reason"] = reason
+            return stop
         return (
             m["confidence"] >= a.get("confidence_threshold", 0.7)
             or m["saturation"] >= a.get("saturation_threshold", 0.8)

@@ -253,7 +253,8 @@ def ngram_jaccard_pairs(
 
 def connected_components_min(edges: DataFrame, id_a: str = "id_a",
                              id_b: str = "id_b",
-                             max_iters: int = 50) -> DataFrame:
+                             max_iters: int = 50,
+                             checkpoint_every: int | None = 10) -> DataFrame:
     """Connected components by iterative min-label propagation:
     label(v) <- min(label(v), min over neighbors' labels) until a
     fixpoint. Returns (id, component) for every vertex in `edges`.
@@ -262,7 +263,14 @@ def connected_components_min(edges: DataFrame, id_a: str = "id_a",
     converges in O(log diameter) rounds; each round is one join +
     groupBy over the edge list (never the corpus). The convergence
     check rides the aggregation (max-changed flag), one job per round.
-    """
+
+    ``checkpoint_every``: every k rounds the label relation is
+    localCheckpoint'ed (eager, executor-stored), truncating its
+    lineage. persist() alone caches blocks but keeps the full logical
+    chain — after d rounds a lost cached block recomputes d joins, and
+    the plan the optimizer must analyze grows with d. On a
+    high-diameter graph (long chains of near-dups) this bounds both.
+    None disables (tiny inputs, tests)."""
     sym = (
         edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(
@@ -272,7 +280,7 @@ def connected_components_min(edges: DataFrame, id_a: str = "id_a",
         .persist()
     )
     labels = sym.select("src").distinct().withColumn("label", F.col("src")).persist()
-    for _ in range(max_iters):
+    for it in range(max_iters):
         nbr_min = (
             sym.join(labels.withColumnRenamed("src", "dst")
                      .withColumnRenamed("label", "nbr_label"), "dst")
@@ -289,6 +297,11 @@ def connected_components_min(edges: DataFrame, id_a: str = "id_a",
         n_changed = new_labels.where("changed").count()
         labels.unpersist()
         labels = new_labels.drop("changed")
+        if checkpoint_every and (it + 1) % checkpoint_every == 0:
+            # eager lineage cut: the count above already materialized
+            # new_labels, so this only copies the cached blocks
+            labels = labels.localCheckpoint()
+            new_labels.unpersist()
         if n_changed == 0:
             break
     out = labels.select(F.col("src").alias("id"), F.col("label").alias("component"))

@@ -42,8 +42,13 @@ def pagerank_int(nodes: DataFrame, edges: DataFrame, n_iter: int = 8,
     """
     base = r0 * (PAGERANK_DAMP_DEN - PAGERANK_DAMP_NUM) // PAGERANK_DAMP_DEN
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    # degree is loop-invariant: join it onto the edges once
-    ed = edges.join(deg, "src")
+    # degree is loop-invariant: join it onto the edges once, and persist
+    # the joined relation — otherwise every iteration's plan re-reads the
+    # edge source and re-runs the degree aggregation + join, so the k-th
+    # iteration pays k copies of the invariant work and lineage depth
+    # grows with n_iter (at 10^10 edges that is the difference between
+    # one edge shuffle per iteration and k of them)
+    ed = edges.join(deg, "src").persist()
     ranks = nodes.select("node", F.lit(r0).cast("long").alias("r"))
     for _ in range(n_iter):
         incoming = (

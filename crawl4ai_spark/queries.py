@@ -140,6 +140,75 @@ def crawl_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pages.select("url_norm", F.col("depth").cast("int").alias("depth"), "parent_url")
 
 
+_CRAWL_METRICS_ORACLE = f"""
+WITH RECURSIVE
+docs AS ({_DOCS_I}),
+cnt AS ({_CNT}),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT i AS src, UNNEST([{", ".join(f"{a}*i+{b}" for a, b in CHILD_FACTORS)}]) AS dst
+    FROM docs
+  ) e, cnt WHERE e.dst < cnt.n
+),
+walk AS (
+  SELECT CAST(0 AS BIGINT) AS id, 0 AS depth
+  UNION
+  SELECT e.dst, w.depth + 1
+  FROM walk w JOIN edges e ON e.src = w.id
+  WHERE w.depth < {_CRAWL_BFS_DEPTH}
+),
+best AS (SELECT id, MIN(depth) AS depth FROM walk GROUP BY id),
+fm AS (SELECT id, depth, (id % 20) + 1 AS fetch_ms FROM best)
+SELECT CAST(depth AS INT) AS round,
+       COUNT(*) AS urls_processed,
+       CAST(0 AS BIGINT) AS urls_failed,
+       CAST(quantile_disc(fetch_ms, 0.5) AS BIGINT) AS fetch_ms_p50,
+       COUNT(*) AS part_processed,
+       CAST(0 AS BIGINT) AS part_failed
+FROM fm GROUP BY depth
+"""
+
+
+@register("crawl_metrics", _CRAWL_METRICS_ORACLE)
+def crawl_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's per-round metrics/lineage table (frontier.py
+    round-summary rows + per-partition accumulator rows), closed-form:
+    round r of an unbudgeted BFS fetches exactly the min-depth-r URL
+    set, its p50 fetch latency is the discrete median of the corpus's
+    deterministic fetch_ms = (i % 20) + 1, nothing fails, and the
+    per-partition lineage rows must re-aggregate to the same totals
+    (partition layout itself is config-dependent, so only the sums are
+    pinned). Mirrors the reference's CrawlerMonitor per-task stats
+    (components/crawler_monitor.py) as a queryable table."""
+    from crawl4ai_spark.engine.fetch import CorpusFetcher
+    from crawl4ai_spark.engine.frontier import CrawlConfig, CrawlEngine
+    from crawl4ai_spark.engine.tables import Warehouse
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = build_corpus(docs).cache()
+    wh = Warehouse(tempfile.mkdtemp(prefix="c4as_met_"))
+    eng = CrawlEngine(
+        spark, wh, CorpusFetcher(corpus),
+        CrawlConfig(max_depth=_CRAWL_BFS_DEPTH, mode="bfs", use_bloom=True),
+    )
+    eng.run([seed_url()])
+    m = eng.t_metrics.read(spark)
+    summary = m.where("partition_id = -1").select(
+        F.col("round").cast("int").alias("round"),
+        "urls_processed", "urls_failed", "fetch_ms_p50",
+    )
+    parts = (
+        m.where("partition_id >= 0")
+        .groupBy(F.col("round").cast("int").alias("round"))
+        .agg(F.sum("urls_processed").alias("part_processed"),
+             F.sum("urls_failed").alias("part_failed"))
+    )
+    return summary.join(parts, "round").select(
+        "round", "urls_processed", "urls_failed", "fetch_ms_p50",
+        "part_processed", "part_failed",
+    )
+
+
 def _spans_oracle() -> str:
     url_i = _url_sql("i")
     url_c = _url_sql("c")
@@ -1460,6 +1529,60 @@ def adaptive_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adaptive.coverage_score(_t(spark, sf_dir, "documents"), _COVERAGE_TERMS)
 
 
+_AE_QUERY = "spark adaptive crawl"
+_AE_DIM = 64
+_AE_TRAIN, _AE_VAL = 5, 2
+
+
+def _ae_qv_sql() -> str:
+    # hash_embed twin: component d of variation qid =
+    # (h64('aq:' || query || '#' || qid || '#' || d) % 2001 - 1000)/1000
+    h = _h64(f"'{_AE_QUERY}#' || CAST(qid AS VARCHAR) || '#' || CAST(d AS VARCHAR)",
+             seed="aq")
+    return (f"list_transform(range(0, {_AE_DIM}), "
+            f"d -> (({h} % 2001) - 1000) / 1000.0)")
+
+
+_AE_ORACLE = f"""
+WITH kb AS (SELECT embedding AS v FROM embeddings),
+q AS (
+  SELECT CAST(qid AS INT) AS query_id,
+         CASE WHEN qid < {_AE_TRAIN} THEN 'train' ELSE 'val' END AS split,
+         {_ae_qv_sql()} AS qv
+  FROM (SELECT UNNEST(range(0, {_AE_TRAIN + _AE_VAL})) AS qid)
+),
+s AS (
+  SELECT query_id, split,
+         CAST(ROUND(MAX({_emb_cos_sql('qv', 'v')}), 6) AS DOUBLE) AS best_sim
+  FROM q, kb GROUP BY query_id, split
+),
+c AS (SELECT CAST(ROUND(AVG(best_sim), 6) AS DOUBLE) AS confidence
+      FROM s WHERE split = 'train'),
+v AS (SELECT CAST(ROUND(AVG(best_sim), 6) AS DOUBLE) AS val_score
+      FROM s WHERE split = 'val')
+SELECT s.query_id, s.split, s.best_sim,
+       CAST(ROUND(1.0 - s.best_sim, 6) AS DOUBLE) AS gap,
+       CAST(CASE WHEN 1.0 - s.best_sim <= 0.2 THEN 1 ELSE 0 END AS INT) AS covered,
+       c.confidence, v.val_score
+FROM s, c, v
+"""
+
+
+@register("adaptive_embedding_confidence", _AE_ORACLE)
+def adaptive_embedding_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EmbeddingStrategy's coverage-gap math (adaptive_crawler.py
+    :779-805, :925-947, :1308-1337) over the embeddings table as KB:
+    per query variation the nearest-KB cosine, its gap and coverage
+    flag, plus the train-split confidence and held-out validation
+    score that drive the gap-based stop (ops/adaptive_embedding.py)."""
+    from crawl4ai_spark.ops import adaptive_embedding as ae
+
+    kb = _t(spark, sf_dir, "embeddings")
+    return ae.coverage_report(
+        kb, _AE_QUERY, n_train=_AE_TRAIN, n_val=_AE_VAL, dim=_AE_DIM
+    )
+
+
 # The fake decoder's first feature is the stride-16 byte sum mod 997
 # (ops/multimodal.fake_features): over hex(encode(text)) that is
 # SUM(byte at 16k) % 997 — byte-exact in DuckDB, so the mapInPandas
@@ -1561,6 +1684,9 @@ _WINDOW = [
     "crawl_bfs", "crawl_spans", "crawl_links", "crawl_politeness",
     "crawl_robots", "crawl_bestfirst", "crawl_dfs", "crawl_citations",
     "crawl_contextual", "rate_limiter_fold", "seed_pipeline", "config_routing",
+    # metrics/lineage table (round 4, VERDICT r3 #5 — the last
+    # pytest-only engine surface gets a closed-form oracle)
+    "crawl_metrics",
     # sink wire format
     "kafka_wire_format",
     # URL functions / filters / scorers (url_base_domain -> tail for
@@ -1593,14 +1719,18 @@ _WINDOW = [
     "multimodal_features",
     # corpus quality / curation (new in round 3)
     "quality_gopher", "decontaminate", "pii_redact",
-    # adaptive crawling
-    "adaptive_term_stats", "adaptive_confidence", "adaptive_consistency",
-    "adaptive_saturation",
+    # adaptive crawling (adaptive_term_stats + adaptive_consistency ->
+    # tail for round 4: both driver-green in r3 and both composed into
+    # adaptive_confidence which stays; adaptive_embedding_confidence is
+    # the round-4 EmbeddingStrategy twin, VERDICT r3 #3)
+    "adaptive_confidence",
+    "adaptive_saturation", "adaptive_embedding_confidence",
     # BM25
     "bm25_scores",
 ]
 
 _TAIL = [
+    "adaptive_term_stats", "adaptive_consistency",
     "url_base_domain", "dedup_simhash", "jsonxpath_extract",
     "dedup_ngram_capped", "embedding_neardup_lsh",
     "curation_pipeline", "html_tables", "html_media_meta",

@@ -1,0 +1,89 @@
+"""spark-submit job for the REAL two-cluster-size scaling measurement.
+
+The north rule's scaling criterion reads "run via spark-submit
+--py-files on a multi-executor cluster at N and 4N executors with
+throughput scaling efficiency >=0.8". All previous evidence was
+single-JVM local[k] (thread scaling); this job runs against a real
+standalone master, with real separate executor JVMs, real Netty
+shuffle between them, and the package shipped via --py-files — the
+closest a single box gets to an executor resize. tools/
+cluster_scaling.sh drives both legs (same input, same job) and prints
+one JSON line per leg.
+
+Workload: one full frontier round over a replicated synthetic corpus —
+the exact north-star metric shape (politeness windows, fetch join,
+span extraction mapInPandas, pages persist, discovery + seen
+anti-join), identical to bench.py's crawl_mass_round.
+
+Usage (see cluster_scaling.sh):
+  spark-submit --master spark://127.0.0.1:7077 \
+    --py-files /tmp/c4as_pkg.zip tools/cluster_scaling.py \
+    <sf_dir> <replicas> <label>
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import tempfile
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    replicas = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    label = sys.argv[3] if len(sys.argv) > 3 else "leg"
+
+    spark = SparkSession.builder.appName(f"c4as-cluster-{label}").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from crawl4ai_spark.corpus.webgen import build_corpus, replicate_docs, url_expr
+    from crawl4ai_spark.engine.fetch import CorpusFetcher
+    from crawl4ai_spark.engine.frontier import CrawlConfig, CrawlEngine
+    from crawl4ai_spark.engine.tables import Warehouse
+
+    sc = spark.sparkContext
+    total_cores = int(sc.getConf().get("spark.cores.max", "0")) or None
+    # executor count straight from the scheduler (excludes the driver)
+    execs = [e.host() for e in
+             sc._jsc.sc().statusTracker().getExecutorInfos()]
+    n_executors = max(0, len(execs) - 1)
+
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = replicate_docs(base, replicas)
+    n = base.count() * replicas
+    corpus = build_corpus(docs, n_docs=n).cache()
+    corpus.count()  # materialize outside the timed section
+    seed_df = docs.select(
+        url_expr(F.col("doc_id").cast("long")).alias("url")
+    ).repartition(int(spark.conf.get("spark.sql.shuffle.partitions"))).persist()
+    seed_df.count()
+
+    wh = Warehouse(tempfile.mkdtemp(prefix=f"c4as_cluster_{label}_"))
+    eng = CrawlEngine(
+        spark, wh, CorpusFetcher(corpus),
+        CrawlConfig(max_depth=0, mode="bfs", use_bloom=True,
+                    base_host_budget=n // 7 + 1, n_salts=8, max_rounds=1),
+    )
+    t0 = time.monotonic()
+    eng.run(seed_df=seed_df)
+    wall = time.monotonic() - t0
+
+    print(json.dumps({
+        "metric": "cluster_round_urls_per_sec",
+        "label": label,
+        "urls": n,
+        "wall_s": round(wall, 2),
+        "urls_per_sec": round(n / wall, 1),
+        "n_executors": n_executors,
+        "total_cores": total_cores,
+        "master": sc.master,
+    }), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
