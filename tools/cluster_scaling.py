@@ -47,10 +47,6 @@ def main() -> None:
 
     sc = spark.sparkContext
     total_cores = int(sc.getConf().get("spark.cores.max", "0")) or None
-    # executor count straight from the scheduler (excludes the driver)
-    execs = [e.host() for e in
-             sc._jsc.sc().statusTracker().getExecutorInfos()]
-    n_executors = max(0, len(execs) - 1)
 
     base = spark.read.parquet(f"{sf_dir}/documents.parquet")
     docs = replicate_docs(base, replicas)
@@ -62,22 +58,41 @@ def main() -> None:
     ).repartition(int(spark.conf.get("spark.sql.shuffle.partitions"))).persist()
     seed_df.count()
 
-    wh = Warehouse(tempfile.mkdtemp(prefix=f"c4as_cluster_{label}_"))
-    eng = CrawlEngine(
-        spark, wh, CorpusFetcher(corpus),
-        CrawlConfig(max_depth=0, mode="bfs", use_bloom=True,
-                    base_host_budget=n // 7 + 1, n_salts=8, max_rounds=1),
-    )
-    t0 = time.monotonic()
-    eng.run(seed_df=seed_df)
-    wall = time.monotonic() - t0
+    def one_round(tag: str) -> float:
+        wh = Warehouse(tempfile.mkdtemp(prefix=f"c4as_cluster_{label}_{tag}_"))
+        eng = CrawlEngine(
+            spark, wh, CorpusFetcher(corpus),
+            CrawlConfig(max_depth=0, mode="bfs", use_bloom=True,
+                        base_host_budget=n // 7 + 1, n_salts=8,
+                        max_rounds=1),
+        )
+        t0 = time.monotonic()
+        eng.run(seed_df=seed_df)
+        return time.monotonic() - t0
 
+    # Cold round first (JIT warm-up, per-executor python import,
+    # codegen compile, first broadcast), then the WARM round — the
+    # steady-state shape of a production crawl, which runs thousands
+    # of rounds per job. Both are reported; throughput/efficiency key
+    # off the warm round, the cold one discloses the per-job fixed
+    # cost a long-running job amortizes away.
+    cold = one_round("cold")
+    warm = one_round("warm")
+
+    # executor count AFTER the run: the scheduler has registered (and
+    # run tasks on) every executor by now; entry 'driver' is excluded
+    infos = sc._jsc.sc().statusTracker().getExecutorInfos()
+    n_executors = max(0, len(infos) - 1)
+
+    import os
     print(json.dumps({
         "metric": "cluster_round_urls_per_sec",
         "label": label,
+        "load_1m_at_end": round(os.getloadavg()[0], 2),
         "urls": n,
-        "wall_s": round(wall, 2),
-        "urls_per_sec": round(n / wall, 1),
+        "cold_wall_s": round(cold, 2),
+        "wall_s": round(warm, 2),
+        "urls_per_sec": round(n / warm, 1),
         "n_executors": n_executors,
         "total_cores": total_cores,
         "master": sc.master,

@@ -36,6 +36,7 @@ submit() { # label total_cores shuffle_parts
     --conf spark.executor.cores=2 \
     --conf spark.executor.memory=6g \
     --conf spark.driver.memory=8g \
+    --conf "spark.executor.extraJavaOptions=-XX:ActiveProcessorCount=2" \
     --conf spark.sql.shuffle.partitions="$3" \
     --conf spark.sql.adaptive.enabled=true \
     --conf spark.sql.adaptive.coalescePartitions.enabled=true \
@@ -44,6 +45,7 @@ submit() { # label total_cores shuffle_parts
     --conf spark.sql.autoBroadcastJoinThreshold=67108864 \
     --conf spark.sql.session.timeZone=UTC \
     --conf spark.ui.enabled=false \
+    --conf spark.locality.wait=0s \
     --py-files "$PKG" \
     "$REPO"/tools/cluster_scaling.py "$SF_DIR" "$REPLICAS" "$1" \
     2>/dev/null | grep '^{'
@@ -57,7 +59,7 @@ cleanup() {
 }
 trap cleanup EXIT
 
-cleanup; sleep 2
+cleanup; sleep 4
 "$SPARK_HOME"/sbin/start-master.sh -h 127.0.0.1 -p 7077 >/dev/null
 sleep 4
 
