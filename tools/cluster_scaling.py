@@ -32,7 +32,66 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 
+def run_ops(spark, sf_dir: str, replicas: int, label: str) -> None:
+    """--ops mode: the curation job (Gopher quality signals + benchmark
+    n-gram decontamination) at this cluster size — the workload whose
+    single-box N->4N thread scaling measured 0.54-0.68; here it gets
+    the real-executor, cold+warm treatment."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from crawl4ai_spark.corpus.webgen import replicate_docs
+    from crawl4ai_spark.ops.quality import gopher_signals, ngram_contamination
+
+    sc = spark.sparkContext
+    total_cores = int(sc.getConf().get("spark.cores.max", "0")) or None
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    big = replicate_docs(docs, replicas, n_docs=n) \
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions"))) \
+        .persist()
+    n_big = big.count()
+    bench = big.where(F.col("doc_id") % 50 == 0)
+    corp = big.where(F.col("doc_id") % 50 != 0)
+
+    def job() -> float:
+        t0 = time.monotonic()
+        gopher_signals(big).write.format("noop").mode("overwrite").save()
+        ngram_contamination(corp, bench, n=8) \
+            .write.format("noop").mode("overwrite").save()
+        return time.monotonic() - t0
+
+    cold = job()
+    warm = job()
+    infos = sc._jsc.sc().statusTracker().getExecutorInfos()
+    print(json.dumps({
+        "metric": "cluster_ops_docs_per_sec",
+        "label": label,
+        "load_1m_at_end": round(os.getloadavg()[0], 2),
+        "docs": n_big,
+        "cold_wall_s": round(cold, 2),
+        "wall_s": round(warm, 2),
+        "docs_per_sec": round(n_big / warm, 1),
+        "n_executors": max(0, len(infos) - 1),
+        "total_cores": total_cores,
+        "master": sc.master,
+    }), flush=True)
+
+
 def main() -> None:
+    args = [a for a in sys.argv[1:] if a != "--ops"]
+    ops_mode = "--ops" in sys.argv[1:]
+    if ops_mode:
+        sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
+        replicas = int(args[1]) if len(args) > 1 else 4
+        label = args[2] if len(args) > 2 else "leg"
+        spark = SparkSession.builder.appName(
+            f"c4as-cluster-ops-{label}").getOrCreate()
+        spark.sparkContext.setLogLevel("ERROR")
+        run_ops(spark, sf_dir, replicas, label)
+        spark.stop()
+        return
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     replicas = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     label = sys.argv[3] if len(sys.argv) > 3 else "leg"
