@@ -349,7 +349,21 @@ class CrawlEngine:
         stats = {"rounds": 0, "pages_crawled": crawled}
         aqe_key = "spark.sql.adaptive.enabled"
         orig_aqe = self.spark.conf.get(aqe_key, "true")
+        # AQE partition coalescing is byte-based and blind to per-row
+        # PYTHON cost: a round's post-politeness shuffles carry ~100 B/
+        # row, so AQE narrows them toward defaultParallelism — and the
+        # fetch+extract chain (the round's dominant, pandas-UDF-heavy
+        # stage) inherits that narrow layout, losing the width the
+        # explicit url_hash repartition established. Measured on a
+        # 1.6M-URL round at 2 executors x 8 cores via spark-submit:
+        # heavy stage 23 -> 64 tasks, cold round 329 s -> 137 s.
+        # Coalescing stays off for the whole engine loop (round shuffle
+        # widths are already bounded by n_part); skew-join splitting and
+        # runtime broadcast — AQE's wins at scale — remain enabled.
+        coal_key = "spark.sql.adaptive.coalescePartitions.enabled"
+        orig_coal = self.spark.conf.get(coal_key, "true")
         try:
+            self.spark.conf.set(coal_key, "false")
             for rnd in range(start_round, cfg.max_rounds):
                 if cfg.max_pages is not None and crawled >= cfg.max_pages:
                     break
@@ -382,6 +396,7 @@ class CrawlEngine:
         finally:
             # the session is shared with non-engine queries — restore
             self.spark.conf.set(aqe_key, orig_aqe)
+            self.spark.conf.set(coal_key, orig_coal)
         return stats
 
     def _adaptive_metrics(self, rnd: int) -> dict:

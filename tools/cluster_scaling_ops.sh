@@ -20,9 +20,15 @@
 # minutes; one process per leg keeps every leg inside a bounded
 # wall-clock window and lets legs be retried independently):
 #
-#   bash tools/cluster_scaling_ops.sh N   [sf_dir] [replicas]
-#   bash tools/cluster_scaling_ops.sh 4N  [sf_dir] [replicas]
+#   bash tools/cluster_scaling_ops.sh N   [sf_dir] [replicas] [crawl]
+#   bash tools/cluster_scaling_ops.sh 4N  [sf_dir] [replicas] [crawl]
 #   bash tools/cluster_scaling_ops.sh eff           # combine + print
+#
+# An optional 4th arg "crawl" submits the frontier-round job instead
+# of the curation job (same 2-executor cores-4x topology — unlike
+# cluster_scaling.sh's executor-count 4N leg, this isolates compute
+# scaling from the single-box JVM artifacts) and keys efficiency on
+# urls_per_sec.
 #
 # Leg JSON lines accumulate in $OUT; `eff` reads the last N and 4N
 # lines and prints the efficiency record.
@@ -39,6 +45,10 @@ export PYSPARK_PYTHON=$(which python)
 export PYSPARK_DRIVER_PYTHON=$(which python)
 export SPARK_WORKER_DIR=/tmp/c4as_workers
 export SPARK_LOG_DIR=/tmp/c4as_spark_logs
+MODE=${4:-ops}
+# extra --conf pairs for one-off experiments, e.g.
+#   EXTRA_SPARK_CONFS="--conf spark.sql.adaptive.coalescePartitions.enabled=false"
+EXTRA_SPARK_CONFS=${EXTRA_SPARK_CONFS:-}
 OUT=${CLUSTER_SCALING_OUT:-/tmp/cluster_scaling_ops_result.txt}
 
 if [ "$LEG" = "eff" ]; then
@@ -51,12 +61,21 @@ for line in open(sys.argv[1]):
         legs[row["label"]] = row   # last occurrence of each label wins
 a = legs.get("N_2exec_4cores"); b = legs.get("4N_2exec_16cores")
 if a and b:
-    eff = (b["docs_per_sec"] / a["docs_per_sec"]) / (b["total_cores"] / a["total_cores"])
-    print(json.dumps({"metric": "cluster_ops_scaling_efficiency_N_to_4N",
+    key = "docs_per_sec" if "docs_per_sec" in a else "urls_per_sec"
+    kind = "ops" if key == "docs_per_sec" else "crawl"
+    eff = (b[key] / a[key]) / (b["total_cores"] / a["total_cores"])
+    print(json.dumps({"metric": f"cluster_{kind}_scaling_efficiency_N_to_4N",
                       "value": round(eff, 3), "n_leg": a, "fourn_leg": b}))
 EOF
   exit 0
 fi
+
+MODE_FLAG="--ops"
+PARTS=32
+# crawl mode: the round's heavy stage is pandas-UDF extraction at
+# ~1 ms-core/row — 64 finer tasks smooth straggler quantization at 16
+# cores (measured: see BENCH.md round-4 coalescing note)
+if [ "$MODE" = "crawl" ]; then MODE_FLAG=""; PARTS=64; fi
 
 PKG=/tmp/c4as_pkg.zip
 rm -f "$PKG"
@@ -84,8 +103,9 @@ submit() { # label total_cores exec_cores exec_mem shuffle_parts
     --conf spark.sql.session.timeZone=UTC \
     --conf spark.ui.enabled=false \
     --conf spark.locality.wait=0s \
+    $EXTRA_SPARK_CONFS \
     --py-files "$PKG" \
-    "$REPO"/tools/cluster_scaling.py --ops "$SF_DIR" "$REPLICAS" "$1" \
+    "$REPO"/tools/cluster_scaling.py $MODE_FLAG "$SF_DIR" "$REPLICAS" "$1" \
     2>/dev/null | grep '^{'
 }
 
@@ -108,10 +128,10 @@ if [ "$LEG" = "N" ]; then
   # shuffle partitions match the 4N leg (32): partitions are sized by
   # DATA, not cores — giving the small leg 4x-larger tasks would hand
   # it a spill handicap the big leg doesn't face, biasing efficiency
-  submit "N_2exec_4cores" 4 2 6g 32 | tee -a "$OUT"
+  submit "N_2exec_4cores" 4 2 6g "$PARTS" | tee -a "$OUT"
 else
   SPARK_WORKER_CORES=16 SPARK_WORKER_MEMORY=14g SPARK_WORKER_INSTANCES=1 \
     "$SPARK_HOME"/sbin/start-worker.sh "$MASTER_URL" >/dev/null
   sleep 4
-  submit "4N_2exec_16cores" 16 8 6g 32 | tee -a "$OUT"
+  submit "4N_2exec_16cores" 16 8 6g "$PARTS" | tee -a "$OUT"
 fi
