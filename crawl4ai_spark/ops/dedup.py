@@ -251,6 +251,137 @@ def ngram_jaccard_pairs(
     return out
 
 
+def dedup_lines(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", min_chars: int = 10,
+                sep: str = "\n") -> DataFrame:
+    """C4-style line-level exact dedup across the corpus (Raffel et al.
+    2020 §2.2: any line occurring more than once in the dataset is kept
+    only at its first occurrence).
+
+    A line's identity is its 64-bit content hash; the first occurrence
+    is the lexicographically-smallest (doc_id, line_no). Lines shorter
+    than ``min_chars`` characters are exempt (never dedup candidates —
+    the C4 heuristic that only substantial lines count as boilerplate).
+
+    Scale shape: one shuffle on line-hash for the first-occurrence
+    window (rank within a hash partition is linear in occurrences — a
+    boilerplate line in 10^6 docs costs 10^6 window rows, never a
+    join blowup), then one shuffle on doc_id to reassemble. No joins,
+    no collects.
+
+    Output: (doc_id, n_lines, n_kept, text_dedup).
+    """
+    lines = spread_input(df, id_col).select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("line_no", "line"),
+    )
+    # all occurrences of a hash share the line text, hence the same
+    # exempt flag — the window rank is only consulted for non-exempt
+    w = Window.partitionBy("lhash").orderBy("doc_id", "line_no")
+    marked = (
+        lines.withColumn("lhash", hash64("line"))
+        .withColumn("exempt", F.length("line") < min_chars)
+        .withColumn("occ", F.row_number().over(w))
+        .withColumn("keep", F.col("exempt") | (F.col("occ") == 1))
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("keep"),
+                                   F.struct("line_no", "line"))
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                sep,
+            ).alias("text_dedup"),
+        )
+    )
+
+
+def duplicate_token_spans(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", n: int = 8) -> DataFrame:
+    """Exact-substring duplicate detection (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): any
+    token n-gram occurring more than once ANYWHERE in the corpus marks
+    its covered positions as duplicated; overlapping-or-adjacent marked
+    intervals merge into maximal spans per document.
+
+    The reference implementation builds a corpus suffix array; the
+    relational equivalent at fixed n is a frequency count over exploded
+    (position, n-gram-hash) rows — the suffix array's "repeated
+    substring of length >= n" test IS "some n-gram at this position
+    repeats". Span merge is gaps-and-islands over per-doc windows.
+
+    Scale shape: one shuffle on gram-hash (window count — linear per
+    occurrence even for a degenerate gram in 10^6 docs, never a pair
+    join), then per-doc windows + aggregation on doc_id. Unlike the
+    pair-finding ops there is no quadratic candidate set, so no
+    hot-key cap is needed.
+
+    Output per doc: (doc_id, total_tokens, dup_tokens, n_spans,
+    dup_frac) — docs with no duplicated span report zeros.
+    """
+    base = spread_input(df, id_col).select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens(text_col)).alias("total_tokens"),
+        word_ngrams(text_col, n).alias("grams"),
+    )
+    g = base.select(
+        "doc_id", "total_tokens",
+        F.posexplode("grams").alias("pos", "gram"),
+    ).withColumn(
+        # a doc shorter than n yields one short gram covering [0, total)
+        "end", F.least(F.col("pos") + (n - 1), F.col("total_tokens") - 1)
+    ).withColumn("gh", hash64("gram")).drop("gram")
+    freq = F.count(F.lit(1)).over(Window.partitionBy("gh"))
+    dup = g.withColumn("freq", freq).where(F.col("freq") > 1)
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max("end").over(
+        wdoc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = (
+        dup.withColumn(
+            "is_new",
+            (F.col("pos") > F.coalesce(prev_end, F.lit(-2)) + 1).cast("long"),
+        )
+        .withColumn(
+            "island",
+            F.sum("is_new").over(
+                wdoc.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    spans = isl.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("s"), F.max("end").alias("e")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("dup_tokens"),
+    )
+    docs = base.select("doc_id", "total_tokens")
+    return (
+        docs.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("total_tokens").cast("long").alias("total_tokens"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0))
+                / F.greatest(F.col("total_tokens"), F.lit(1)),
+                6,
+            ).alias("dup_frac"),
+        )
+    )
+
+
 def connected_components_min(edges: DataFrame, id_a: str = "id_a",
                              id_b: str = "id_b",
                              max_iters: int = 50,

@@ -317,6 +317,75 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    dim: int = 64,
+    threshold: float = 0.9,
+    max_cell_df: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the embedding space, then
+    within each cluster greedily drop any vector that has a
+    lower-id neighbor with cosine >= threshold — semantic duplicates
+    that exact/fuzzy text dedup can't see (paraphrases, templated
+    rewrites).
+
+    The paper k-means-clusters then keeps, per duplicate group, the
+    point farthest from the centroid; here clusters are the fixed
+    hash-derived IVF cells (shuffle-free assignment, ivf_cell) and the
+    keeper rule is min-id — both deterministic, which makes the op
+    exactly oracle-able. The pair join is confined to same-cell pairs
+    (the SemDeDup trick: within-cluster epsilon-neighbours, never the
+    corpus cross product).
+
+    ``max_cell_df`` is the hot-cell cap, the twin of max_bucket_df in
+    the LSH ops: a degenerate cell (all-identical embeddings) is
+    quadratic in the pair join, so cells larger than K are excluded
+    from the join — their members are all KEPT (pairs can only be
+    missed, never invented; conservative dedup).
+
+    Output: (vec_id, cell, nn_cos, keep) — nn_cos is the max cosine to
+    any smaller-id same-cell vector (-1.0 when none), keep = nn_cos <
+    threshold.
+    """
+    v = spread_input(emb, id_col).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("nrm"),
+        ivf_cell(F.col(vec_col), n_cells, dim).alias("cell"),
+    )
+    joinable = v
+    if max_cell_df is not None:
+        cw = Window.partitionBy("cell")
+        joinable = (
+            v.withColumn("__cdf", F.count(F.lit(1)).over(cw))
+            .where(F.col("__cdf") <= max_cell_df)
+            .drop("__cdf")
+        )
+    a, b = joinable.alias("a"), joinable.alias("b")
+    nn = (
+        a.join(b, (F.col("a.cell") == F.col("b.cell"))
+               & (F.col("b.vec_id") < F.col("a.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.round(
+                _dot("a.v", "b.v") / (F.col("a.nrm") * F.col("b.nrm")), 6
+            ).alias("cos"),
+        )
+        .groupBy("vec_id")
+        .agg(F.max("cos").alias("nn_cos"))
+    )
+    return (
+        v.join(nn, "vec_id", "left")
+        .select(
+            "vec_id", "cell",
+            F.coalesce("nn_cos", F.lit(-1.0)).alias("nn_cos"),
+        )
+        .withColumn("keep", F.col("nn_cos") < F.lit(threshold))
+    )
+
+
 def signlsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

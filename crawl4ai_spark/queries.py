@@ -1211,6 +1211,122 @@ def dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- line-level exact dedup (C4 style) -----------------------------------
+
+# newline-structured corpus derived from documents: a shared header
+# line (global boilerplate), the body re-wrapped at 8 words/line, and a
+# per-source copyright footer — so the op sees corpus-wide, group-wide
+# and unique lines at once.
+_LINES_HEADER = "SHARE THIS ARTICLE WITH YOUR FRIENDS AND SUBSCRIBE"
+
+_DEDUP_LINES_ORACLE = f"""
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, string_split(text, ' ') AS toks,
+                  source FROM documents),
+d2 AS (SELECT doc_id,
+  '{_LINES_HEADER}' || chr(10) ||
+  array_to_string(list_transform(range(1, greatest(1, len(toks)) + 1, 8),
+                  i -> array_to_string(list_slice(toks, i, i + 7), ' ')), chr(10))
+  || chr(10) || 'copyright ' || source AS text FROM d),
+l AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d2),
+ln AS (SELECT doc_id, UNNEST(range(1, len(ls) + 1)) AS line_no, ls FROM l),
+lx AS (SELECT doc_id, line_no, ls[line_no] AS line FROM ln),
+m AS (SELECT doc_id, line_no, line,
+             length(line) < 10 AS exempt,
+             ROW_NUMBER() OVER (PARTITION BY {_h64('line')}
+                                ORDER BY doc_id, line_no) AS occ
+      FROM lx)
+SELECT doc_id,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CASE WHEN exempt OR occ = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       COALESCE(string_agg(CASE WHEN exempt OR occ = 1 THEN line END,
+                           chr(10) ORDER BY line_no), '') AS text_dedup
+FROM m GROUP BY doc_id
+"""
+
+
+@register("dedup_lines", _DEDUP_LINES_ORACLE)
+def dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-wide line dedup (first occurrence wins, short
+    lines exempt) over a newline-structured corpus with planted global
+    and per-source boilerplate lines."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text", "source"
+    )
+    toks = F.split("text", " ")
+    starts = F.sequence(F.lit(1), F.greatest(F.lit(1), F.size(toks)), F.lit(8))
+    body = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, 8)))
+    lined = F.concat_ws(
+        "\n",
+        F.lit(_LINES_HEADER),
+        F.array_join(body, "\n"),
+        F.concat(F.lit("copyright "), F.col("source")),
+    )
+    return dedup.dedup_lines(docs.select("doc_id", lined.alias("text")))
+
+
+# --- exact-substring duplicate spans (Lee et al. 2022 style) ---------------
+
+_SPANS_TAIL = " subscribe to our newsletter for the latest updates from source "
+
+_DEDUP_SPANS_ORACLE = f"""
+WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         text || '{_SPANS_TAIL}' || source AS text
+  FROM documents),
+all_docs AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + 10000, text FROM base WHERE doc_id % 5 = 0),
+d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM all_docs),
+g AS (SELECT doc_id, len(toks) AS total_tokens, toks,
+             UNNEST(range(1, greatest(1, len(toks) - 7) + 1)) AS p1 FROM d),
+g2 AS (SELECT doc_id, total_tokens, p1 - 1 AS pos,
+              least(p1 + 6, total_tokens - 1) AS e,
+              array_to_string(list_slice(toks, p1, p1 + 7), ' ') AS gram FROM g),
+g3 AS (SELECT doc_id, total_tokens, pos, e,
+              COUNT(*) OVER (PARTITION BY {_h64('gram')}) AS freq FROM g2),
+dup AS (SELECT doc_id, total_tokens, pos, e FROM g3 WHERE freq > 1),
+i1 AS (SELECT doc_id, pos, e,
+  CASE WHEN pos > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY pos
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+       THEN 1 ELSE 0 END AS is_new
+  FROM dup),
+i2 AS (SELECT doc_id, pos, e,
+  SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM i1),
+spans AS (SELECT doc_id, island, MIN(pos) AS s, MAX(e) AS e2
+          FROM i2 GROUP BY doc_id, island),
+pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+              CAST(SUM(e2 - s + 1) AS BIGINT) AS dup_tokens
+       FROM spans GROUP BY doc_id)
+SELECT a.doc_id,
+       CAST(a.total AS BIGINT) AS total_tokens,
+       CAST(COALESCE(pd.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       CAST(COALESCE(pd.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(ROUND(COALESCE(pd.dup_tokens, 0) * 1.0 / greatest(a.total, 1), 6)
+            AS DOUBLE) AS dup_frac
+FROM (SELECT doc_id, len(string_split(text, ' ')) AS total FROM all_docs) a
+LEFT JOIN pd ON pd.doc_id = a.doc_id
+"""
+
+
+@register("dedup_spans", _DEDUP_SPANS_ORACLE)
+def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate spans at 8-gram granularity over a
+    corpus with a planted per-source boilerplate tail (partial spans on
+    every doc) plus full copies of every 5th doc (whole-doc spans)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat("text", F.lit(_SPANS_TAIL), F.col("source")).alias("text"),
+    )
+    full = docs.unionByName(
+        docs.where(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 10000).alias("doc_id"), "text"
+        )
+    )
+    return dedup.duplicate_token_spans(full, n=8)
+
+
 def _dedup_pipeline_oracle() -> str:
     rows = _MINHASH_H // _MINHASH_BANDS
     toks = "string_split(text, ' ')"
@@ -1346,6 +1462,60 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_neardup_pairs(
         emb.unionByName(planted), threshold=0.99
     ).select("id_a", "id_b", "cos")
+
+
+# --- semantic dedup (SemDeDup style) ---------------------------------------
+
+def _semantic_oracle(n_cells: int = 8, dim: int = 64,
+                     threshold: float = 0.9) -> str:
+    comp = ("((CAST(('0x' || substr(md5('ivf' || CAST(cell AS VARCHAR) || ':' "
+            "|| CAST(d AS VARCHAR)), 1, 15)) AS BIGINT) % 2001) - 1000) / 1000.0")
+    diff = "(CAST(v[j2 + 1] AS DOUBLE) - comps[j2 + 1])"
+    dist = f"list_sum(list_transform(range(0, {dim}), j2 -> {diff} * {diff}))"
+    return f"""
+WITH cen AS (
+  SELECT cell, list_transform(range(0, {dim}), d -> {comp}) AS comps
+  FROM (SELECT UNNEST(range(0, {n_cells})) AS cell)
+),
+all_e AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT CAST(vec_id AS BIGINT) + 10000, embedding
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+base AS (SELECT vec_id, embedding AS v FROM all_e),
+ad AS (SELECT b.vec_id, b.v, cen.cell, {dist} AS d2 FROM base b, cen),
+cells AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+    FROM ad) WHERE rn = 1
+),
+nn AS (
+  SELECT a.vec_id,
+         MAX(CAST(ROUND({_emb_cos_sql('a.v', 'b.v')}, 6) AS DOUBLE)) AS nn_cos
+  FROM cells a JOIN cells b ON a.cell = b.cell AND b.vec_id < a.vec_id
+  GROUP BY a.vec_id
+)
+SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell,
+       COALESCE(nn.nn_cos, -1.0) AS nn_cos,
+       COALESCE(nn.nn_cos, -1.0) < {threshold} AS keep
+FROM cells c LEFT JOIN nn ON nn.vec_id = c.vec_id
+"""
+
+
+@register("dedup_semantic", _semantic_oracle())
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table with planted exact-duplicate
+    vectors (every 50th, +10000): duplicates land in the same IVF cell
+    with cosine 1.0 to their lower-id twin and are dropped; the rest
+    keep unless a natural same-cell neighbour clears the threshold."""
+    emb = _t(spark, sf_dir, "embeddings")
+    planted = emb.where(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label"
+    )
+    return similarity.semantic_dedup(
+        emb.unionByName(planted), n_cells=8, dim=64, threshold=0.9
+    )
 
 
 def _ann_oracle(n_bits: int = 4, dim: int = 64) -> str:
@@ -1701,8 +1871,11 @@ _WINDOW = [
     "events_sessionize",
     # dedup family (dedup_lsh_capped / dedup_ngram_capped are the
     # capped VARIANTS — tail, both driver-green in r2; dedup_simhash ->
-    # tail for round 3: driver-green in r2, siblings stay in window)
-    "dedup_exact", "dedup_minhash_lsh", "dedup_pipeline",
+    # tail for round 3: driver-green in r2, siblings stay in window;
+    # dedup_lines is the round-4 C4-style line-level op — new GRANULARITY
+    # not a variant, so it takes a window slot; its round-4 siblings
+    # dedup_spans / dedup_semantic go to the tail)
+    "dedup_exact", "dedup_minhash_lsh", "dedup_pipeline", "dedup_lines",
     # similarity / ANN (embedding_neardup_lsh -> tail: driver-green in
     # r2, same sign-LSH bucketing as ann_signlsh_topk which stays)
     "embedding_cosine_topk", "ann_signlsh_topk",
@@ -1723,14 +1896,16 @@ _WINDOW = [
     # tail for round 4: both driver-green in r3 and both composed into
     # adaptive_confidence which stays; adaptive_embedding_confidence is
     # the round-4 EmbeddingStrategy twin, VERDICT r3 #3)
-    "adaptive_confidence",
-    "adaptive_saturation", "adaptive_embedding_confidence",
+    # (adaptive_saturation -> tail for round 4: driver-green in r3, its
+    # family keeps two reps — statistical + embedding confidence)
+    "adaptive_confidence", "adaptive_embedding_confidence",
     # BM25
     "bm25_scores",
 ]
 
 _TAIL = [
-    "adaptive_term_stats", "adaptive_consistency",
+    "dedup_spans", "dedup_semantic",
+    "adaptive_saturation", "adaptive_term_stats", "adaptive_consistency",
     "url_base_domain", "dedup_simhash", "jsonxpath_extract",
     "dedup_ngram_capped", "embedding_neardup_lsh",
     "curation_pipeline", "html_tables", "html_media_meta",
