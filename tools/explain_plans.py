@@ -283,6 +283,52 @@ def main():
         fmt(best_similarity(emb, qv)),
     ))
 
+    # 14. line-level dedup: two keyed shuffles, no joins
+    from crawl4ai_spark.ops.dedup import dedup_lines, duplicate_token_spans
+
+    lined = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.regexp_replace("text", " ", "\n").alias("text"),
+    )
+    sections.append((
+        "Line-level dedup (C4): window on line-hash, reassemble on doc_id",
+        "Exactly two exchanges, both keyed: the first-occurrence rank "
+        "partitions by line-hash (linear in occurrences — a boilerplate "
+        "line in 10^6 docs is 10^6 window rows, never a join), the "
+        "reassembly groupBy partitions by doc_id with a partial "
+        "aggregation. No joins, no collects, no cross products anywhere "
+        "in the plan.",
+        fmt(dedup_lines(lined)),
+    ))
+
+    # 15. duplicate spans: gram-frequency window, per-doc islands
+    sections.append((
+        "Exact-substring duplicate spans: frequency window, no pair join",
+        "The corpus n-gram frequency is a COUNT window partitioned by "
+        "gram-hash — the plan must show NO self-join on the gram (the "
+        "suffix-array problem stays linear per occurrence); the island "
+        "merge and per-doc rollup all partition by doc_id, and AQE "
+        "reuses that exchange across the three doc-keyed windows/aggs.",
+        fmt(duplicate_token_spans(docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"))),
+    ))
+
+    # 16. semantic dedup: cell-bounded pair join
+    from crawl4ai_spark.ops.similarity import semantic_dedup
+
+    sections.append((
+        "Semantic dedup (SemDeDup): shuffle-free cell assignment, cell-equijoin",
+        "Cell assignment is a per-row codegen'd expression over the scan "
+        "(no k-means training pass, no shuffle); the only join is the "
+        "same-cell EQUIJOIN — never a cross product (at this sf AQE "
+        "broadcasts the small side, BroadcastHashJoin Inner below; at "
+        "corpus scale it becomes a sort-merge join keyed on cell) — and "
+        "the per-vector MAX is partially aggregated before its exchange. "
+        "With max_cell_df set, hot cells leave the join via a "
+        "count-window filter that reuses the same cell-keyed exchange.",
+        fmt(semantic_dedup(emb)),
+    ))
+
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write(
