@@ -193,33 +193,24 @@ def main() -> None:
     # clean cache keeps the per-query timings below independent of them
     spark.catalog.clearCache()
 
-    for name in headline:
-        fn = Q.QUERIES[name]
-        runs = []
-        for i in range(2):
-            gate.admit(f"{name}#{i}")
-            t0 = time.monotonic()
-            _force(fn(spark, sf_dir))
-            runs.append(time.monotonic() - t0)
-        timings[name] = round(min(runs), 3)
-        samples[name] = [round(s, 3) for s in runs]
-
-    # Round-4 ops, timed and disclosed but NOT in the headline total:
-    # the headline set is frozen so suite totals stay like-for-like
-    # comparable across rounds (VERDICT r3: the r3 record read as a
-    # regression partly because it added queries to the total).
+    # extra: round-4 ops, timed under the same protocol and disclosed
+    # but NOT in the headline total — the headline set is frozen so
+    # suite totals stay like-for-like comparable across rounds
+    # (VERDICT r3: the r3 record read as a regression partly because
+    # it added queries to the total).
     extra = ["dedup_lines", "dedup_spans", "dedup_semantic"]
     extra_timings: dict[str, float] = {}
-    for name in extra:
-        fn = Q.QUERIES[name]
-        runs = []
-        for i in range(2):
-            gate.admit(f"{name}#{i}")
-            t0 = time.monotonic()
-            _force(fn(spark, sf_dir))
-            runs.append(time.monotonic() - t0)
-        extra_timings[name] = round(min(runs), 3)
-        samples[name] = [round(s, 3) for s in runs]
+    for names, sink in ((headline, timings), (extra, extra_timings)):
+        for name in names:
+            fn = Q.QUERIES[name]
+            runs = []
+            for i in range(2):
+                gate.admit(f"{name}#{i}")
+                t0 = time.monotonic()
+                _force(fn(spark, sf_dir))
+                runs.append(time.monotonic() - t0)
+            sink[name] = round(min(runs), 3)
+            samples[name] = [round(s, 3) for s in runs]
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

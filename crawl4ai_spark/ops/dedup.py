@@ -271,9 +271,14 @@ def dedup_lines(df: DataFrame, text_col: str = "text",
 
     Output: (doc_id, n_lines, n_kept, text_dedup).
     """
+    # \Q..\E makes the separator LITERAL for F.split (a Java regex);
+    # array_join below uses it literally too, so reassembly round-trips
+    # for any separator (e.g. "|", ".", "\n\n" for paragraph-level)
     lines = spread_input(df, id_col).select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("line_no", "line"),
+        F.posexplode(
+            F.split(F.col(text_col), "\\Q" + sep + "\\E")
+        ).alias("line_no", "line"),
     )
     # all occurrences of a hash share the line text, hence the same
     # exempt flag — the window rank is only consulted for non-exempt

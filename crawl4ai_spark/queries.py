@@ -1276,7 +1276,7 @@ WITH base AS (
 all_docs AS (
   SELECT doc_id, text FROM base
   UNION ALL
-  SELECT doc_id + 10000, text FROM base WHERE doc_id % 5 = 0),
+  SELECT doc_id + 10000000, text FROM base WHERE doc_id % 5 = 0),
 d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM all_docs),
 g AS (SELECT doc_id, len(toks) AS total_tokens, toks,
              UNNEST(range(1, greatest(1, len(toks) - 7) + 1)) AS p1 FROM d),
@@ -1321,7 +1321,9 @@ def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     full = docs.unionByName(
         docs.where(F.col("doc_id") % 5 == 0).select(
-            (F.col("doc_id") + 10000).alias("doc_id"), "text"
+            # offset above any plausible real id (the +10000 used by the
+            # older planted-dup queries collides past 10k docs)
+            (F.col("doc_id") + 10000000).alias("doc_id"), "text"
         )
     )
     return dedup.duplicate_token_spans(full, n=8)
@@ -1480,7 +1482,7 @@ WITH cen AS (
 all_e AS (
   SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding FROM embeddings
   UNION ALL
-  SELECT CAST(vec_id AS BIGINT) + 10000, embedding
+  SELECT CAST(vec_id AS BIGINT) + 10000000, embedding
   FROM embeddings WHERE vec_id % 50 = 0
 ),
 base AS (SELECT vec_id, embedding AS v FROM all_e),
@@ -1511,7 +1513,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep unless a natural same-cell neighbour clears the threshold."""
     emb = _t(spark, sf_dir, "embeddings")
     planted = emb.where(F.col("vec_id") % 50 == 0).select(
-        (F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label"
+        (F.col("vec_id") + 10000000).alias("vec_id"), "embedding", "label"
     )
     return similarity.semantic_dedup(
         emb.unionByName(planted), n_cells=8, dim=64, threshold=0.9

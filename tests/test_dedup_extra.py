@@ -57,6 +57,19 @@ class TestDedupLines:
         assert out[2]["n_kept"] == 1
         assert out[2]["text_dedup"] == "short ln"
 
+    def test_regex_metachar_separator_is_literal(self, spark):
+        # sep is used by F.split (a Java regex) — it must be treated
+        # literally, or "|" would split on every char boundary
+        df = spark.createDataFrame(
+            [(1, "alpha segment one|beta segment two"),
+             (2, "alpha segment one|gamma segment three")],
+            ["doc_id", "text"],
+        )
+        out = _rows(dedup_lines(df, sep="|"))
+        assert out[1]["n_lines"] == 2
+        assert out[1]["text_dedup"] == "alpha segment one|beta segment two"
+        assert out[2]["text_dedup"] == "gamma segment three"
+
     def test_intra_doc_duplicate_line(self, spark):
         df = spark.createDataFrame(
             [(7, "repeated inside one doc\nmiddle line here\nrepeated inside one doc")],

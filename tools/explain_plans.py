@@ -292,7 +292,9 @@ def main():
     )
     sections.append((
         "Line-level dedup (C4): window on line-hash, reassemble on doc_id",
-        "Exactly two exchanges, both keyed: the first-occurrence rank "
+        "Exactly two keyed exchanges beyond the test-scale scan-width "
+        "guard (the REPARTITION_BY_NUM right above the scan, absent at "
+        "production widths): the first-occurrence rank "
         "partitions by line-hash (linear in occurrences — a boilerplate "
         "line in 10^6 docs is 10^6 window rows, never a join), the "
         "reassembly groupBy partitions by doc_id with a partial "

@@ -46,6 +46,12 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # untimed warmup round: JIT, codegen cache, parquet footer cache —
+    # without it the first rung pays ~10 s of one-time cost and the
+    # fit misreads it as fixed per-round cost
+    bench_crawl_mass(spark, sf_dir, replicas=1)
+    spark.catalog.clearCache()
+
     rungs = []
     for r in replicas:
         runs = [bench_crawl_mass(spark, sf_dir, replicas=r)
