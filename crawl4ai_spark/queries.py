@@ -1906,7 +1906,7 @@ _WINDOW = [
 ]
 
 _TAIL = [
-    "dedup_spans", "dedup_semantic",
+    "dedup_spans", "dedup_semantic", "dsir_select",
     "adaptive_saturation", "adaptive_term_stats", "adaptive_consistency",
     "url_base_domain", "dedup_simhash", "jsonxpath_extract",
     "dedup_ngram_capped", "embedding_neardup_lsh",
@@ -3696,6 +3696,57 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.col("source"), 4, 10).cast("long") % 3
     )
     return mixture_sample(_t(spark, sf_dir, "documents"), pct)
+
+
+# -- DSIR importance-weighted data selection ----------------------------------
+
+def _dsir_oracle(n_buckets: int = 4096, lam: float = 0.5,
+                 scale: int = 1_000_000) -> str:
+    toks = "string_split(text, ' ')"
+    bi = (f"list_transform(range(1, greatest(2, len({toks}))), "
+          f"i -> array_to_string(list_slice({toks}, i, i + 1), ' '))")
+    lb = lam * n_buckets
+    return f"""
+WITH raw AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text, source FROM documents),
+rg AS (SELECT {_h64('g')} % {n_buckets} AS bucket
+       FROM (SELECT UNNEST({bi}) AS g FROM raw)),
+tg AS (SELECT {_h64('g')} % {n_buckets} AS bucket
+       FROM (SELECT UNNEST({bi}) AS g FROM raw WHERE source IN ('src0', 'src1'))),
+tc AS (SELECT bucket, COUNT(*) AS ct FROM tg GROUP BY 1),
+rc AS (SELECT bucket, COUNT(*) AS cr FROM rg GROUP BY 1),
+tt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t_total FROM tg),
+rt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS r_total FROM rg),
+spine AS (SELECT UNNEST(range(0, {n_buckets})) AS bucket),
+w AS (SELECT spine.bucket,
+             CAST(ROUND((ln((COALESCE(tc.ct, 0) + {lam}) / (tt.t_total + {lb}))
+                       - ln((COALESCE(rc.cr, 0) + {lam}) / (rt.r_total + {lb})))
+                        * {scale}) AS BIGINT) AS w
+      FROM spine LEFT JOIN tc ON tc.bucket = spine.bucket
+                 LEFT JOIN rc ON rc.bucket = spine.bucket, tt, rt),
+dg AS (SELECT doc_id, len({bi}) AS n_grams, UNNEST({bi}) AS g FROM raw),
+db AS (SELECT doc_id, n_grams, {_h64('g')} % {n_buckets} AS bucket, COUNT(*) AS nb
+       FROM dg GROUP BY 1, 2, 3),
+sc AS (SELECT doc_id, n_grams, SUM(nb * w.w) AS s
+       FROM db JOIN w ON w.bucket = db.bucket GROUP BY 1, 2)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, CAST(s AS BIGINT) AS score_scaled,
+       CAST(ROUND(s / greatest(n_grams, 1)) AS BIGINT) / {float(scale)} AS dsir_avg,
+       s > 0 AS selected
+FROM sc
+"""
+
+
+@register("dsir_select", _dsir_oracle())
+def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection: target model = docs from src0/src1, raw
+    model = the whole corpus; every doc scored by its scaled-integer
+    n-gram log-likelihood ratio (exact BIGINT sums, cross-engine)."""
+    from crawl4ai_spark.ops import dsir
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text", "source"
+    )
+    target = docs.where(F.col("source").isin("src0", "src1"))
+    return dsir.dsir_select(docs, target)
 
 
 # -- end-to-end curation pipeline ---------------------------------------------

@@ -331,6 +331,24 @@ def main():
         fmt(semantic_dedup(emb)),
     ))
 
+    # 17. DSIR selection: broadcast weight dim, integer doc sums
+    from crawl4ai_spark.ops.dsir import dsir_select
+
+    ddocs = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                        "text", "source")
+    sections.append((
+        "DSIR selection: B-row weight dim broadcast, exact integer doc sums",
+        "The weight dim is n_buckets rows (corpus-independent) built "
+        "from two bucket-keyed aggregations plus 1-row total dims "
+        "(BroadcastNestedLoopJoin of single-row aggregates — no driver "
+        "jobs); the doc side joins it via BroadcastHashJoin and "
+        "aggregates BIGINT products per doc — partial_sum before the "
+        "doc-keyed exchange, association-order-free by construction "
+        "(integer arithmetic), so the plan stays correct AND "
+        "deterministic at any parallelism.",
+        fmt(dsir_select(ddocs, ddocs.where(F.col("source") == "src0"))),
+    ))
+
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write(
