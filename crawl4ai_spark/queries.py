@@ -884,6 +884,32 @@ def events_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EVT_DEDUP_ORACLE = """
+WITH all_e AS (
+  SELECT event_id, ts, user_id, event_type, value FROM events
+  UNION ALL
+  SELECT event_id, ts, user_id, event_type, value FROM events
+  WHERE event_id % 10 = 0
+)
+SELECT DISTINCT event_id, ts, user_id, event_type, value FROM all_e
+"""
+
+
+@register("events_dedup", _EVT_DEDUP_ORACLE)
+def events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once ingestion, batch replay twin of
+    streaming.events.stream_dedup: every 10th event re-delivered
+    byte-identically (the at-least-once source shape), deduped by
+    DISTINCT — which equals key-dedup when re-deliveries are exact
+    copies. The streaming form (dropDuplicatesWithinWatermark,
+    bounded state) is exercised in tests/test_streaming_sources.py."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    redelivered = e.where(F.col("event_id") % 10 == 0)
+    return e.unionByName(redelivered).distinct()
+
+
 _KAFKA_WIRE_ORACLE = """
 SELECT 'crawl.results' AS topic,
        CAST(o_orderkey AS VARCHAR) AS key_str,
@@ -1913,7 +1939,7 @@ _TAIL = [
     "curation_pipeline", "html_tables", "html_media_meta",
     "politeness_fairness", "sitemap_seeds", "scheme_fetch",
     "cache_read", "cache_upsert", "url_normalize_fast",
-    "ann_ivf_topk", "events_tumbling", "dedup_lsh_capped",
+    "ann_ivf_topk", "events_tumbling", "events_dedup", "dedup_lsh_capped",
     "head_relevance", "head_parse", "tpch_q1_pricing", "events_topk", "jsoncss_nested",
     "multimodal_resize_plan", "adaptive_coverage", "dedup_ngram_jaccard",
     "embedding_neardup", "chunks_sliding", "chunks_overlap", "chunks_regex",

@@ -63,6 +63,29 @@ def host_rate_monitor(
     )
 
 
+def stream_dedup(
+    events: DataFrame,
+    key_cols: tuple[str, ...] = ("event_id",),
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Exactly-once event ingestion: drop re-delivered events by key
+    within the watermark horizon (at-least-once sources — kafka
+    redelivery, file-source replays — become effectively-once
+    downstream). State per key is retained only until the watermark
+    passes it, so state size is bounded by the horizon's key arrival
+    rate, not the stream's lifetime — the property that matters on an
+    unbounded feed.
+
+    Streaming-only (dropDuplicatesWithinWatermark requires an
+    event-time watermark); the batch replay twin of the same semantics
+    over an archived feed is plain DISTINCT when re-deliveries are
+    byte-identical (the `events_dedup` registry query).
+    """
+    return events.withWatermark(ts_col, watermark) \
+        .dropDuplicatesWithinWatermark(list(key_cols))
+
+
 def stream_to_table(stream_df: DataFrame, table, checkpoint_dir: str,
                     trigger_available_now: bool = True):
     """foreachBatch bridge into the engine's snapshot tables: each

@@ -139,3 +139,38 @@ def test_scheme_fetcher_raw_and_file(spark, tmp_path):
     assert out[f"file://{p}"][0].startswith("<html>") and out[f"file://{p}"][1] == 200
     assert out["file:///nonexistent/nope.html"][1:] == (404, False)
     assert out["http://x.test/a"] == ("<p>net</p>", 200, True)
+
+
+def test_stream_dedup_exactly_once(spark, tmp_path):
+    """dropDuplicatesWithinWatermark path: re-delivered events (same
+    event_id, inside the watermark horizon) are emitted once."""
+    from crawl4ai_spark.streaming.events import stream_dedup
+
+    src = str(tmp_path / "dedup_in")
+    rows = [
+        (1, "2024-01-01 00:01:00", "click"),
+        (2, "2024-01-01 00:01:30", "view"),
+        (1, "2024-01-01 00:01:40", "click"),   # redelivery of event 1
+        (3, "2024-01-01 00:02:00", "click"),
+        (2, "2024-01-01 00:02:10", "view"),    # redelivery of event 2
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, event_type string")
+        .parquet(src)
+    )
+    out = stream_dedup(stream, key_cols=("event_id",), watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory").queryName("dedup_once")
+        .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT event_id FROM dedup_once").collect()
+    ids = sorted(r.event_id for r in got)
+    assert ids == [1, 2, 3]
