@@ -22,8 +22,8 @@ is one ln() + one round() per BUCKET (4096 of them), not per row.
 Scale shape (100 TB posture):
   - bucket counts: one groupBy per corpus over (bucket) — B<<corpus
     keys, map-side combined;
-  - totals: 1-row aggregates crossJoined in (broadcast nested loop),
-    never a driver job;
+  - totals: windows over the B-row weight dim (one pass over B rows,
+    no extra corpus scans), never a driver job;
   - the weight dim is B rows — broadcast into the doc-side join;
   - doc side: doc-keyed aggregations only.
 
@@ -34,7 +34,7 @@ lists as first-class.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from crawl4ai_spark.ops.text import hash64, spread_input, word_ngrams
@@ -44,7 +44,9 @@ DSIR_SCALE = 1_000_000
 
 def _bucketed_grams(df: DataFrame, text_col: str, n: int,
                     n_buckets: int) -> DataFrame:
-    return df.select(
+    # width guard: a compact parquet corpus scans as ONE partition and
+    # would serialize the explode+hash below on a single core
+    return spread_input(df, text_col).select(
         F.explode(word_ngrams(text_col, n)).alias("g")
     ).select(F.pmod(hash64(F.col("g")), F.lit(n_buckets)).alias("bucket"))
 
@@ -65,24 +67,26 @@ def dsir_weights(
         .groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
     rc = _bucketed_grams(raw, text_col, n, n_buckets) \
         .groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
-    tt = tc.agg(F.sum("ct").cast("double").alias("t_total"))
-    rt = rc.agg(F.sum("cr").cast("double").alias("r_total"))
     spine = spark.range(n_buckets).select(F.col("id").alias("bucket"))
+    joined = spine.join(tc, "bucket", "left").join(rc, "bucket", "left")
+    # totals as windows over the B-row joined dim — NOT tc.agg()/
+    # rc.agg() crossJoins, which are separate plan subtrees and cost
+    # two extra full corpus scans (caught by plan review); coalesce
+    # keeps an EMPTY target/raw at finite lam-smoothed weights (an
+    # all-null sum is NULL, and the DuckDB oracle's COUNT(*) is 0)
+    wall = Window.partitionBy()
+    t_total = F.coalesce(F.sum("ct").over(wall), F.lit(0)).cast("double")
+    r_total = F.coalesce(F.sum("cr").over(wall), F.lit(0)).cast("double")
     lb = float(lam) * n_buckets
     w = (
         F.log((F.coalesce("ct", F.lit(0)) + F.lit(float(lam)))
-              / (F.col("t_total") + F.lit(lb)))
+              / (t_total + F.lit(lb)))
         - F.log((F.coalesce("cr", F.lit(0)) + F.lit(float(lam)))
-                / (F.col("r_total") + F.lit(lb)))
+                / (r_total + F.lit(lb)))
     )
-    return (
-        spine.join(tc, "bucket", "left")
-        .join(rc, "bucket", "left")
-        .crossJoin(tt).crossJoin(rt)
-        .select(
-            "bucket",
-            F.round(w * DSIR_SCALE).cast("long").alias("w"),
-        )
+    return joined.select(
+        "bucket",
+        F.round(w * DSIR_SCALE).cast("long").alias("w"),
     )
 
 

@@ -35,6 +35,22 @@ class TestDsir:
         assert all(v["score_scaled"] == 0 and v["selected"] is False
                    for v in sc.values())
 
+    def test_empty_target_finite_weights(self, spark):
+        # sum over an empty aggregation is NULL in Spark; the weights
+        # must coalesce it to 0 (matching the oracle's COUNT(*)), so
+        # an empty target yields finite smoothed weights, never NULLs
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "delta epsilon zeta")],
+            ["doc_id", "text"],
+        )
+        out = dsir_select(docs, docs.where("doc_id = 999"), n_buckets=64)
+        rows = out.collect()
+        assert len(rows) == 2
+        assert all(r["score_scaled"] is not None for r in rows)
+        # empty target: every doc is LESS likely under it -> negative
+        assert all(r["score_scaled"] < 0 and r["selected"] is False
+                   for r in rows)
+
     def test_target_like_docs_selected(self, spark):
         # target speaks only "zebra quagga", raw mostly "lorem ipsum"
         raw = spark.createDataFrame(

@@ -82,7 +82,7 @@ def test_streaming_state_continues_across_batches(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
     rows = spark.sql("SELECT * FROM rl_states").collect()
     # n_events is cumulative: the max-count row per host is its final state
     last = {}

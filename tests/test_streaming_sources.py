@@ -104,7 +104,7 @@ def test_streaming_windowed_counts(spark, tmp_path):
     agg = windowed_event_counts(stream, window="5 minutes", watermark="10 minutes")
     table = SnapshotTable(str(tmp_path / "out"))
     q = stream_to_table(agg, table, str(tmp_path / "ckpt"))
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
     rows = {(r.event_type, str(r.window_start)): (r.n, r.total)
             for r in table.read(spark).collect()}
     assert rows[("click", "2024-01-01 00:00:00")] == (2, 3.0)
@@ -170,7 +170,7 @@ def test_stream_dedup_exactly_once(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
     got = spark.sql("SELECT event_id FROM dedup_once").collect()
     ids = sorted(r.event_id for r in got)
     assert ids == [1, 2, 3]

@@ -339,11 +339,13 @@ def main():
     sections.append((
         "DSIR selection: B-row weight dim broadcast, exact integer doc sums",
         "The weight dim is n_buckets rows (corpus-independent) built "
-        "from two bucket-keyed aggregations plus 1-row total dims "
-        "(BroadcastNestedLoopJoin of single-row aggregates — no driver "
-        "jobs); the doc side joins it via BroadcastHashJoin and "
-        "aggregates BIGINT products per doc — partial_sum before the "
-        "doc-keyed exchange, association-order-free by construction "
+        "from exactly TWO corpus passes (one bucket-keyed aggregation "
+        "per side); the totals are whole-dim windows over those B rows "
+        "— the plan must show no third or fourth corpus scan (an "
+        "earlier agg-crossJoin form cost two extra scans, caught by "
+        "plan review). The doc side joins the dim via BroadcastHashJoin "
+        "and aggregates BIGINT products per doc — partial_sum before "
+        "the doc-keyed exchange, association-order-free by construction "
         "(integer arithmetic), so the plan stays correct AND "
         "deterministic at any parallelism.",
         fmt(dsir_select(ddocs, ddocs.where(F.col("source") == "src0"))),
