@@ -1892,8 +1892,11 @@ _WINDOW = [
     "url_canonicalize", "url_scores", "url_filters",
     "url_seo", "url_domain_authority", "filter_stats", "link_scores",
     "rank_links",
-    # relational scan/join/agg
-    "tpch_q3_revenue",
+    # data-selection family (round 4: dsir_select is a NEW family —
+    # importance-weighted selection — so it takes the window slot that
+    # tpch_q3_revenue, a generic relational demo, held; tpch_q1_pricing
+    # already represents scan/join/agg in the tail sweep)
+    "dsir_select",
     # streaming windows (tumbling variant in the tail; sessionize + the
     # stateful rate_limiter_fold represent the family)
     "events_sessionize",
@@ -1912,7 +1915,10 @@ _WINDOW = [
     "link_pagerank", "corpus_mixture_sample",
     # text analysis / chunking / tokenization
     "text_stats", "sanitize_text", "chunks_fixed", "chunks_merge",
-    "regex_extract", "regex_builtin_catalog", "bpe_tokens",
+    # (regex_builtin_catalog -> tail for round 4: driver-green in r3
+    # and a builtin-pattern VARIANT of regex_extract which stays;
+    # lm_perplexity is the round-4 CCNet perplexity-filter family)
+    "regex_extract", "lm_perplexity", "bpe_tokens",
     # structured extraction / markdown / multimodal (jsonxpath_extract
     # -> tail for round 3: driver-green in r2, same §2.7 row as
     # jsoncss_extract which stays)
@@ -1932,7 +1938,7 @@ _WINDOW = [
 ]
 
 _TAIL = [
-    "dedup_spans", "dedup_semantic", "dsir_select",
+    "dedup_spans", "dedup_semantic", "tpch_q3_revenue", "regex_builtin_catalog",
     "adaptive_saturation", "adaptive_term_stats", "adaptive_consistency",
     "url_base_domain", "dedup_simhash", "jsonxpath_extract",
     "dedup_ngram_capped", "embedding_neardup_lsh",
@@ -3773,6 +3779,69 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     target = docs.where(F.col("source").isin("src0", "src1"))
     return dsir.dsir_select(docs, target)
+
+
+# -- CCNet-style LM perplexity filter ------------------------------------------
+
+def _lm_oracle(lam: float = 0.5, scale: int = 1_000_000) -> str:
+    toks = "string_split(text, ' ')"
+    bi = (f"list_transform(range(1, greatest(2, len({toks}))), "
+          f"i -> array_to_string(list_slice({toks}, i, i + 1), ' '))")
+    return f"""
+WITH raw AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text, lang, source
+             FROM documents),
+clean AS (SELECT text FROM raw WHERE source = 'src0'),
+c1 AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS c1
+       FROM (SELECT UNNEST({toks}) AS w FROM clean) GROUP BY 1),
+c2 AS (SELECT g, CAST(COUNT(*) AS DOUBLE) AS c2
+       FROM (SELECT UNNEST({bi}) AS g FROM clean) GROUP BY 1),
+consts AS (SELECT CAST(COUNT(*) + 1 AS DOUBLE) AS v,
+                  CAST(ROUND(ln({lam} / ({lam} * (COUNT(*) + 1))) * {scale})
+                       AS BIGINT) AS lp_unk
+           FROM c1),
+bd AS (SELECT c2.g,
+              CAST(ROUND(ln((c2.c2 + {lam}) / (c1.c1 + {lam} * consts.v))
+                         * {scale}) AS BIGINT) AS lp
+       FROM c2 JOIN c1 ON string_split(c2.g, ' ')[1] = c1.w, consts),
+cd AS (SELECT c1.w,
+              CAST(ROUND(ln({lam} / (c1.c1 + {lam} * consts.v)) * {scale})
+                   AS BIGINT) AS lp_oov
+       FROM c1, consts),
+dg AS (SELECT doc_id, lang, len({bi}) AS n_grams, UNNEST({bi}) AS g FROM raw),
+db AS (SELECT doc_id, lang, n_grams, g, COUNT(*) AS nb
+       FROM dg GROUP BY 1, 2, 3, 4),
+j AS (SELECT db.doc_id, db.lang, db.n_grams, db.nb,
+             COALESCE(bd.lp, cd.lp_oov, consts.lp_unk) AS lp_g
+      FROM db LEFT JOIN bd ON bd.g = db.g
+              LEFT JOIN cd ON cd.w = string_split(db.g, ' ')[1], consts),
+sc AS (SELECT doc_id, lang, n_grams, -SUM(nb * lp_g) AS nll
+       FROM j GROUP BY 1, 2, 3),
+avg AS (SELECT doc_id, lang, n_grams, nll,
+               CAST(ROUND(nll / greatest(n_grams, 1)) AS BIGINT) AS a
+        FROM sc),
+nt AS (SELECT *, ntile(3) OVER (PARTITION BY lang ORDER BY a, doc_id) AS t
+       FROM avg)
+SELECT doc_id, lang, CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(nll AS BIGINT) AS nll_scaled, a AS avg_nll_scaled,
+       CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+         AS ppl_bucket
+FROM nt
+"""
+
+
+@register("lm_perplexity", _lm_oracle())
+def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity filter: train a smoothed conditional
+    bigram LM on the src0 slice (the 'clean reference' corpus), score
+    every doc's exact scaled-integer NLL under it, and split each
+    language into head/middle/tail terciles (Wenzek et al. 2020)."""
+    from crawl4ai_spark.ops.lm import lm_perplexity_filter
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text", "lang", "source"
+    )
+    clean = docs.where(F.col("source") == "src0")
+    return lm_perplexity_filter(docs, clean)
 
 
 # -- end-to-end curation pipeline ---------------------------------------------
