@@ -198,7 +198,8 @@ def main() -> None:
     # suite totals stay like-for-like comparable across rounds
     # (VERDICT r3: the r3 record read as a regression partly because
     # it added queries to the total).
-    extra = ["dedup_lines", "dedup_spans", "dedup_semantic", "dsir_select"]
+    extra = ["dedup_lines", "dedup_spans", "dedup_semantic", "dsir_select",
+             "lm_perplexity"]
     extra_timings: dict[str, float] = {}
     for names, sink in ((headline, timings), (extra, extra_timings)):
         for name in names:

@@ -351,6 +351,29 @@ def main():
         fmt(dsir_select(ddocs, ddocs.where(F.col("source") == "src0"))),
     ))
 
+    # 18. LM perplexity: model dims broadcast, pre-aggregated doc grams
+    from crawl4ai_spark.ops.lm import lm_perplexity_filter
+
+    ldocs = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                        "text", "lang", "source")
+    sections.append((
+        "LM perplexity filter (CCNet): model-dim joins onto pre-aggregated doc grams",
+        "The model is trained in two clean-slice passes (token counts, "
+        "bigram counts — both map-side combined; the clean slice's "
+        "filter is PUSHED to the scan) and lands in three dims whose "
+        "cardinality is model vocabulary, not corpus size. The doc side "
+        "is shrunk to (doc x DISTINCT gram) counts BEFORE any model "
+        "join — the explode stream never reaches a join — then takes "
+        "the two backoff left joins (AQE broadcasts them at this sf; "
+        "at 100 TB they are gram-keyed sort-merge joins, still "
+        "model-bounded on the build side) and one doc-keyed BIGINT "
+        "aggregation. The final ntile window partitions by lang — "
+        "CCNet's per-language buckets, ~100 strata in production, "
+        "each a doc-keyed row stream (the mixture_sample posture).",
+        fmt(lm_perplexity_filter(
+            ldocs, ldocs.where(F.col("source") == "src0"))),
+    ))
+
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write(
