@@ -63,6 +63,58 @@ def minhash_signature(text_col, num_hashes: int = 16, shingle_n: int = 3):
     )
 
 
+def _relational_signatures(df: DataFrame, text_col: str, id_col: str,
+                           num_hashes: int, shingle_n: int,
+                           extra_cols: tuple[object, ...] = ()) -> DataFrame:
+    """MinHash signatures built relationally: explode shingles once,
+    then ``num_hashes`` vectorized min-aggregations in ONE groupBy
+    (map-side partial combines). The pure-expression form
+    (:func:`minhash_signature`) recomputes the shingle array per seed
+    inside nested HOFs, which falls out of whole-stage codegen —
+    ~20x slower at corpus scale.
+
+    ``extra_cols`` are per-doc Columns (functionally dependent on the
+    id, e.g. a content hash) carried through the groupBy as extra keys
+    — no join needed to reattach them. Output: (id, *extras, sig).
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        *extra_cols,
+        F.explode(F.array_distinct(word_ngrams(text_col, shingle_n))).alias("sh"),
+    )
+    keys = [c for c in sh.columns if c != "sh"]
+    return (
+        sh.groupBy(*keys)
+        .agg(*[F.min(hash64(F.col("sh"), seed=i)).alias(f"h{i}")
+               for i in range(num_hashes)])
+        .select(*keys,
+                F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+    )
+
+
+def _band_rows(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """Explode a signature frame into one row per (doc, band) with the
+    band key = md5 of that band's signature slice. All input columns
+    are carried through."""
+    rows = num_hashes // bands
+    carried = [c for c in sig.columns]
+    return sig.select(
+        *carried,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(F.concat_ws(",", *[
+                        F.element_at("sig", b * rows + r + 1).cast("string")
+                        for r in range(rows)
+                    ])).alias("key"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select(*carried, "bk.band", "bk.key")
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -90,38 +142,9 @@ def lsh_candidate_pairs(
     a window over (band, key) — the same keys the self-join shuffles
     on, so Catalyst reuses one exchange for both.
     """
-    rows = num_hashes // bands
     df = spread_input(df, id_col)  # compact scans serialize the explode+hash
-    # Relational signature build: explode shingles once, then num_hashes
-    # vectorized min-aggregations in ONE groupBy (map-side partial
-    # combines). The pure-expression form (minhash_signature) recomputes
-    # the shingle array per seed inside nested HOFs, which falls out of
-    # whole-stage codegen — ~20x slower at corpus scale.
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(word_ngrams(text_col, shingle_n))).alias("sh"),
-    )
-    sig = (
-        sh.groupBy("id")
-        .agg(*[F.min(hash64(F.col("sh"), seed=i)).alias(f"h{i}")
-               for i in range(num_hashes)])
-        .select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
-    )
-    banded = sig.select(
-        "id", "sig",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.md5(F.concat_ws(",", *[
-                        F.element_at("sig", b * rows + r + 1).cast("string")
-                        for r in range(rows)
-                    ])).alias("key"),
-                )
-                for b in range(bands)
-            ])
-        ).alias("bk"),
-    ).select("id", "sig", "bk.band", "bk.key")
+    sig = _relational_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    banded = _band_rows(sig, num_hashes, bands)
     if max_bucket_df is not None:
         bw = Window.partitionBy("band", "key")
         banded = (
@@ -545,4 +568,182 @@ def embedding_neardup_pairs(
             F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6).alias("cos"),
         )
         .where(F.col("cos") >= threshold)
+    )
+
+
+def minhash_index(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", num_hashes: int = 16,
+                  bands: int = 4, shingle_n: int = 3,
+                  max_bucket_df: int | None = None) -> DataFrame:
+    """Persisted dedup index of a corpus snapshot: one row per
+    (doc, band) with columns (id, content_hash, sig, band, key).
+
+    This is the table an incremental pipeline keeps on disk between
+    snapshots (in production: the band rows written bucketed by
+    (band, key) and the ``band = 0`` slice additionally projected out
+    bucketed by content_hash, so BOTH probes in
+    :func:`incremental_dedup` — the hash-membership join and the
+    candidate band join — are storage-partitioned joins that never
+    reshuffle history; each doc appears exactly once per band, so no
+    distinct is needed). The index stores
+    64-bit hashes and signatures only, never text: at 100 TB of corpus
+    the index is ~(8 + 8*num_hashes) bytes/doc + band keys, i.e. 3-4
+    orders of magnitude smaller than the text it stands for.
+
+    ``max_bucket_df`` is the hot-bucket cap, applied at BUILD time: in
+    a band bucket with more than K members, rows beyond the K lowest
+    ids keep their (id, content_hash, sig) — exact-hash membership
+    stays exact — but their band ``key`` is nulled, so they can never
+    match in a candidate equi-join. Near-dup candidates can only be
+    MISSED, never invented. Capping here, rather than at query time,
+    is what keeps :func:`incremental_dedup` history-shuffle-free: the
+    cap is maintained once per snapshot append/compaction, and every
+    later delta probe sees a bounded bucket.
+    """
+    sig = _relational_signatures(
+        spread_input(df, id_col), text_col, id_col, num_hashes, shingle_n,
+        extra_cols=(hash64(F.col(text_col)).alias("content_hash"),),
+    )
+    banded = _band_rows(sig, num_hashes, bands)
+    if max_bucket_df is not None:
+        bw = Window.partitionBy("band", "key").orderBy("id")
+        banded = (
+            banded.withColumn("__brk", F.row_number().over(bw))
+            .withColumn("key", F.when(F.col("__brk") <= max_bucket_df,
+                                      F.col("key")))
+            .drop("__brk")
+        )
+    return banded
+
+
+def incremental_dedup(new_docs: DataFrame, index: DataFrame,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      threshold: float = 0.5, num_hashes: int = 16,
+                      bands: int = 4, shingle_n: int = 3,
+                      max_bucket_df: int | None = None) -> DataFrame:
+    """Cross-snapshot incremental dedup: classify a NEW batch of
+    documents against the persisted :func:`minhash_index` of everything
+    crawled before, without ever reshuffling history.
+
+    This is how a CommonCrawl-scale pipeline actually runs dedup — the
+    full-corpus operators (:func:`exact_duplicates`,
+    :func:`dedup_pipeline`) are the bootstrap; every later snapshot is
+    a delta deduped against the accumulated index, then its survivors'
+    index rows (``minhash_index(survivors)``) are appended.
+
+    Per new doc, status is decided in two stages:
+
+    ``exact_dup``  its 64-bit content hash exists in the index, OR an
+                   earlier (lower-id) doc in the same batch has the
+                   same hash (within-batch first-wins, the
+                   :func:`exact_duplicates` rule).
+    ``near_dup``   it survived the exact stage but shares an LSH band
+                   bucket with a history doc or with a LOWER-id batch
+                   doc that also survived the exact stage, at
+                   signature similarity >= ``threshold``. The lower-id
+                   neighbour keeps its own fate: this is the standard
+                   single-pass keep-first approximation (a chain
+                   A~B~C with A<B<C drops both B and C), deliberately
+                   NOT the connected-components keeper of
+                   :func:`dedup_pipeline` — an incremental pass must
+                   not revisit history to re-cluster.
+    ``kept``       otherwise.
+
+    Output: (doc_id, status, max_sim) where max_sim is the largest
+    candidate similarity seen by an exact-stage survivor (NULL for
+    exact dups and for docs with no LSH candidate).
+
+    Scale shape: the exact stage is one join of the DELTA against the
+    index's band-0 hash column plus a within-batch window on
+    content_hash. When either side fits the broadcast threshold AQE
+    broadcasts it (at typical delta:history ratios, the delta); when
+    neither does, avoiding a history-side exchange requires the index's
+    hash slice to be STORED bucketed/sorted on content_hash (the
+    Iceberg layout :func:`minhash_index` prescribes) — then the join is
+    storage-partitioned and only the delta shuffles. The near stage bands only the survivors and joins
+    them against the index on (band, key) — with the index bucketed by
+    (band, key) this is again a delta-driven probe. Nothing in either
+    stage is proportional to history except the index scan itself.
+
+    ``max_bucket_df`` caps DELTA-side band buckets (same null-key
+    mechanism as :func:`minhash_index`'s build-time cap — exact-dup
+    identification is unaffected, near-dups can only be missed): a
+    flood of near-identical-but-not-equal new docs survives the exact
+    stage and would otherwise make the within-batch self-join
+    quadratic in the bucket. History-side capping belongs at index
+    build/compaction time, not here.
+    """
+    sig_new = _relational_signatures(
+        spread_input(new_docs, id_col), text_col, id_col,
+        num_hashes, shingle_n,
+        extra_cols=(hash64(F.col(text_col)).alias("content_hash"),),
+    )
+    # exact stage: history membership (band-0 slice: one row per doc)
+    # + within-batch first-wins on the content hash
+    hist_hashes = (index.where(F.col("band") == 0)
+                   .select("content_hash")
+                   .withColumn("__hist", F.lit(True)))
+    wh = Window.partitionBy("content_hash").orderBy("id")
+    # delta-sized and referenced three times downstream (final statuses,
+    # vs-history probe, both sides of the within-batch self-join) —
+    # persist so the delta's signature build runs once, not per branch
+    exact = (
+        sig_new.join(hist_hashes.dropDuplicates(["content_hash"]),
+                     "content_hash", "left")
+        .withColumn("__rk", F.row_number().over(wh))
+        .withColumn(
+            "is_exact",
+            F.coalesce(F.col("__hist"), F.lit(False)) | (F.col("__rk") > 1),
+        )
+        .select("id", "content_hash", "sig", "is_exact")
+        .persist()
+    )
+    surv = _band_rows(exact.where(~F.col("is_exact")).select("id", "sig"),
+                      num_hashes, bands)
+    if max_bucket_df is not None:
+        bw = Window.partitionBy("band", "key").orderBy("id")
+        surv = (
+            surv.withColumn("__brk", F.row_number().over(bw))
+            .withColumn("key", F.when(F.col("__brk") <= max_bucket_df,
+                                      F.col("key")))
+            .drop("__brk")
+        )
+
+    def est(sig_a, sig_b):
+        return (
+            F.size(F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y),
+                            lambda eq: eq)).cast("double")
+            / F.lit(float(num_hashes))
+        )
+
+    n, h = surv.alias("n"), index.alias("h")
+    vs_hist = (
+        n.join(h, (F.col("n.band") == F.col("h.band"))
+               & (F.col("n.key") == F.col("h.key")))
+        .select(F.col("n.id").alias("id"),
+                est(F.col("n.sig"), F.col("h.sig")).alias("sim"))
+    )
+    a, b = surv.alias("a"), surv.alias("b")
+    vs_batch = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.id") > F.col("b.id")))
+        .select(F.col("a.id").alias("id"),
+                est(F.col("a.sig"), F.col("b.sig")).alias("sim"))
+    )
+    # duplicate candidate rows (same pair via several bands) agree on
+    # sim, so MAX absorbs them — no dropDuplicates shuffle needed
+    max_sim = (vs_hist.unionByName(vs_batch)
+               .groupBy("id").agg(F.max("sim").alias("max_sim")))
+    return (
+        exact.join(max_sim, "id", "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("is_exact"), F.lit("exact_dup"))
+            .when(F.col("max_sim") >= F.lit(threshold), F.lit("near_dup"))
+            .otherwise(F.lit("kept")).alias("status"),
+            F.round(
+                F.when(~F.col("is_exact"), F.col("max_sim")), 6
+            ).alias("max_sim"),
+        )
     )

@@ -1546,6 +1546,121 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- cross-snapshot incremental dedup --------------------------------------
+
+_INCR_T = 0.5
+
+
+def _incr_oracle() -> str:
+    rows = _MINHASH_H // _MINHASH_BANDS
+    toks = "string_split(text, ' ')"
+    bi = (f"list_transform(range(1, greatest(2, len({toks}))), "
+          f"i -> array_to_string(list_slice({toks}, i, i + 1), ' '))")
+    sig_terms = ", ".join(
+        f"list_min(list_transform(sh, s -> {_h64('s', seed=k)}))"
+        for k in range(_MINHASH_H)
+    )
+
+    def bands(src: str) -> str:
+        return " UNION ALL ".join(
+            f"""SELECT id, sig, {b} AS band, md5({" || ',' || ".join(
+                f"CAST(sig[{b * rows + r + 1}] AS VARCHAR)" for r in range(rows)
+            )}) AS key FROM {src}"""
+            for b in range(_MINHASH_BANDS)
+        )
+
+    sim = (f"len(list_filter(range(1, {_MINHASH_H + 1}), "
+           f"j -> a.sig[j] = b.sig[j])) / {_MINHASH_H}.0")
+    return f"""
+WITH hist AS (SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents),
+newb AS (
+  SELECT CAST(doc_id AS BIGINT) + 1000000 AS id, text
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT) + 2000000, text || ' tail tok'
+  FROM documents WHERE doc_id % 7 = 2
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT) + 3000000,
+         'fresh doc ' || CAST(CAST(doc_id AS BIGINT) AS VARCHAR)
+           || ' alpha beta gamma'
+  FROM documents WHERE doc_id % 11 = 3
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT) + 4000000,
+         'batch only pair ' || CAST(CAST(doc_id AS BIGINT) AS VARCHAR)
+  FROM documents WHERE doc_id % 13 = 1
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT) + 4100000,
+         'batch only pair ' || CAST(CAST(doc_id AS BIGINT) AS VARCHAR)
+  FROM documents WHERE doc_id % 13 = 1
+),
+hsig AS (SELECT id, chash, [{sig_terms}] AS sig FROM
+  (SELECT id, {_h64('text')} AS chash, list_distinct({bi}) AS sh FROM hist)),
+nsig AS (SELECT id, chash, [{sig_terms}] AS sig FROM
+  (SELECT id, {_h64('text')} AS chash, list_distinct({bi}) AS sh FROM newb)),
+hband AS ({bands('hsig')}),
+ex AS (
+  SELECT n.id, n.sig,
+    (EXISTS (SELECT 1 FROM hsig h WHERE h.chash = n.chash)
+     OR EXISTS (SELECT 1 FROM nsig n2
+                WHERE n2.chash = n.chash AND n2.id < n.id)) AS is_exact
+  FROM nsig n),
+sv AS (SELECT id, sig FROM ex WHERE NOT is_exact),
+sband AS ({bands('sv')}),
+cand AS (
+  SELECT a.id, {sim} AS sim
+  FROM sband a JOIN hband b ON a.band = b.band AND a.key = b.key
+  UNION ALL
+  SELECT a.id, {sim} AS sim
+  FROM sband a JOIN sband b
+    ON a.band = b.band AND a.key = b.key AND a.id > b.id
+),
+mx AS (SELECT id, MAX(sim) AS max_sim FROM cand GROUP BY id)
+SELECT e.id AS doc_id,
+  CASE WHEN e.is_exact THEN 'exact_dup'
+       WHEN m.max_sim >= {_INCR_T} THEN 'near_dup'
+       ELSE 'kept' END AS status,
+  CAST(ROUND(CASE WHEN e.is_exact THEN NULL ELSE m.max_sim END, 6) AS DOUBLE)
+    AS max_sim
+FROM ex e LEFT JOIN mx m ON m.id = e.id
+"""
+
+
+@register("dedup_incremental", _incr_oracle())
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot incremental dedup: the documents table is the
+    bootstrapped history (its minhash_index is the persisted state) and
+    a planted delta batch — exact re-crawls, near-duplicate re-crawls
+    with an appended token, genuinely fresh docs, and a within-batch
+    duplicated pair family — is classified against it without ever
+    reshuffling history."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+    i = F.col("doc_id")
+    newb = (
+        docs.where(i % 5 == 0).select((i + 1000000).alias("doc_id"), "text")
+        .unionByName(docs.where(i % 7 == 2).select(
+            (i + 2000000).alias("doc_id"),
+            F.concat("text", F.lit(" tail tok")).alias("text")))
+        .unionByName(docs.where(i % 11 == 3).select(
+            (i + 3000000).alias("doc_id"),
+            F.concat(F.lit("fresh doc "), i.cast("string"),
+                     F.lit(" alpha beta gamma")).alias("text")))
+        .unionByName(docs.where(i % 13 == 1).select(
+            (i + 4000000).alias("doc_id"),
+            F.concat(F.lit("batch only pair "),
+                     i.cast("string")).alias("text")))
+        .unionByName(docs.where(i % 13 == 1).select(
+            (i + 4100000).alias("doc_id"),
+            F.concat(F.lit("batch only pair "),
+                     i.cast("string")).alias("text")))
+    )
+    idx = dedup.minhash_index(docs, num_hashes=_MINHASH_H,
+                              bands=_MINHASH_BANDS, shingle_n=2)
+    return dedup.incremental_dedup(newb, idx, threshold=_INCR_T,
+                                   num_hashes=_MINHASH_H,
+                                   bands=_MINHASH_BANDS, shingle_n=2)
+
+
 def _ann_oracle(n_bits: int = 4, dim: int = 64) -> str:
     def bucket_sql(v: str) -> str:
         terms = []
@@ -1905,8 +2020,13 @@ _WINDOW = [
     # tail for round 3: driver-green in r2, siblings stay in window;
     # dedup_lines is the round-4 C4-style line-level op — new GRANULARITY
     # not a variant, so it takes a window slot; its round-4 siblings
-    # dedup_spans / dedup_semantic go to the tail)
+    # dedup_spans / dedup_semantic go to the tail; dedup_incremental is
+    # the round-4 cross-snapshot POSTURE — delta-vs-persisted-index, a
+    # new mode of operation, not a variant — and takes chunks_merge's
+    # slot (a token-bounded chunking variant, driver-green in r3, whose
+    # family keeps chunks_fixed)
     "dedup_exact", "dedup_minhash_lsh", "dedup_pipeline", "dedup_lines",
+    "dedup_incremental",
     # similarity / ANN (embedding_neardup_lsh -> tail: driver-green in
     # r2, same sign-LSH bucketing as ann_signlsh_topk which stays)
     "embedding_cosine_topk", "ann_signlsh_topk",
@@ -1914,7 +2034,7 @@ _WINDOW = [
     # graph authority + mixture sampling (new families, round 3)
     "link_pagerank", "corpus_mixture_sample",
     # text analysis / chunking / tokenization
-    "text_stats", "sanitize_text", "chunks_fixed", "chunks_merge",
+    "text_stats", "sanitize_text", "chunks_fixed",
     # (regex_builtin_catalog -> tail for round 4: driver-green in r3
     # and a builtin-pattern VARIANT of regex_extract which stays;
     # lm_perplexity is the round-4 CCNet perplexity-filter family)
@@ -1938,6 +2058,7 @@ _WINDOW = [
 ]
 
 _TAIL = [
+    "chunks_merge",
     "dedup_spans", "dedup_semantic", "tpch_q3_revenue", "regex_builtin_catalog",
     "adaptive_saturation", "adaptive_term_stats", "adaptive_consistency",
     "url_base_domain", "dedup_simhash", "jsonxpath_extract",

@@ -161,3 +161,102 @@ class TestSemanticDedup:
         assert uncapped.where("keep").count() == 1
         capped = semantic_dedup(df, dim=8, threshold=0.9, max_cell_df=10)
         assert capped.where("keep").count() == 40
+
+
+class TestIncrementalDedup:
+    """Cross-snapshot incremental dedup: delta classified against the
+    persisted minhash_index of history. Semantics pinned here:
+      - exact stage: hash in index OR lower-id same-hash batch doc.
+      - near stage: >= threshold vs any history doc or any LOWER-id
+        exact-surviving batch doc (keep-first approximation: a chain
+        A~B~C with A<B<C drops both B and C — NOT the CC keeper).
+      - max_sim: NULL for exact dups and candidate-less docs.
+    """
+
+    KW = dict(num_hashes=8, bands=4, shingle_n=2)
+
+    def _classify(self, spark, hist_rows, new_rows, threshold=0.5):
+        from crawl4ai_spark.ops.dedup import minhash_index, incremental_dedup
+        hist = spark.createDataFrame(hist_rows, ["doc_id", "text"])
+        new = spark.createDataFrame(new_rows, ["doc_id", "text"])
+        idx = minhash_index(hist, **self.KW)
+        return _rows(incremental_dedup(new, idx, threshold=threshold,
+                                       **self.KW))
+
+    def test_statuses_against_history_and_batch(self, spark):
+        base = "the quick brown fox jumps over the lazy dog number %d today"
+        out = self._classify(
+            spark,
+            [(i, base % i) for i in range(10)],
+            [
+                (100, base % 3),                    # exact re-crawl
+                (101, base % 5 + " tail"),          # near re-crawl
+                (102, "fresh unrelated alpha beta gamma delta epsilon zeta"),
+                (103, "fresh unrelated alpha beta gamma delta epsilon zeta"),
+                # ^ within-batch exact of 102
+            ],
+        )
+        assert out[100]["status"] == "exact_dup"
+        assert out[100]["max_sim"] is None
+        assert out[101]["status"] == "near_dup"
+        assert out[101]["max_sim"] >= 0.5
+        assert out[102]["status"] == "kept"
+        assert out[103]["status"] == "exact_dup"
+
+    def test_keep_first_chain_drops_whole_chain(self, spark):
+        # A~B and B~C co-bucket; every member after the chain's min id
+        # drops, even though its nearest lower neighbour also dropped
+        words = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        out = self._classify(
+            spark,
+            [(1, "completely different history content here")],
+            [
+                (10, words),
+                (11, words + " extra"),
+                (12, words + " extra more"),
+            ],
+        )
+        assert out[10]["status"] == "kept"
+        assert out[11]["status"] == "near_dup"
+        assert out[12]["status"] == "near_dup"
+
+    def test_empty_history_index(self, spark):
+        from crawl4ai_spark.ops.dedup import minhash_index, incremental_dedup
+        hist = spark.createDataFrame([], "doc_id long, text string")
+        new = spark.createDataFrame(
+            [(1, "some tokens here for doc one"),
+             (2, "some tokens here for doc one")], ["doc_id", "text"])
+        out = _rows(incremental_dedup(
+            new, minhash_index(hist, **self.KW), **self.KW))
+        assert out[1]["status"] == "kept"
+        assert out[2]["status"] == "exact_dup"
+
+    def test_index_shape_one_row_per_doc_band(self, spark):
+        from crawl4ai_spark.ops.dedup import minhash_index
+        hist = spark.createDataFrame(
+            [(i, f"document number {i} with some shared words") for i in range(5)],
+            ["doc_id", "text"])
+        idx = minhash_index(hist, **self.KW)
+        assert set(idx.columns) == {"id", "content_hash", "sig", "band", "key"}
+        assert idx.count() == 5 * 4  # one row per (doc, band), no text
+        assert idx.where(idx.band == 0).count() == 5  # hash slice per doc
+
+    def test_bucket_cap_is_conservative(self, spark):
+        from crawl4ai_spark.ops.dedup import minhash_index, incremental_dedup
+        # 30 identical-signature history docs = one degenerate bucket;
+        # with a build-time cap the delta still classifies, and exact
+        # membership is unaffected by the cap (null-key mechanism)
+        hist = spark.createDataFrame(
+            [(i, "same exact words every time") for i in range(30)],
+            ["doc_id", "text"])
+        idx = minhash_index(hist, max_bucket_df=5, **self.KW)
+        assert idx.count() == 30 * 4  # cap nulls keys, drops no rows
+        assert idx.where(idx.key.isNull()).count() == (30 - 5) * 4
+        out = _rows(incremental_dedup(
+            spark.createDataFrame(
+                [(100, "same exact words every time"),       # exact: hash hit
+                 (101, "same exact words every time nearly")],  # near: bucket
+                ["doc_id", "text"]),
+            idx, max_bucket_df=5, **self.KW))
+        assert out[100]["status"] == "exact_dup"  # cap can't hide hashes
+        assert out[101]["status"] == "near_dup"   # 5 capped reps remain

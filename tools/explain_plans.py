@@ -351,7 +351,34 @@ def main():
         fmt(dsir_select(ddocs, ddocs.where(F.col("source") == "src0"))),
     ))
 
-    # 18. LM perplexity: model dims broadcast, pre-aggregated doc grams
+    # 18. incremental dedup: delta probes a persisted index
+    from crawl4ai_spark.ops.dedup import incremental_dedup, minhash_index
+
+    idocs = docs.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    idx_dir = tempfile.mkdtemp(prefix="c4as_plans_idx_")
+    minhash_index(idocs, num_hashes=8, bands=4,
+                  shingle_n=2).write.mode("overwrite").parquet(idx_dir)
+    sections.append((
+        "Incremental dedup: delta-vs-persisted-index, history never reshuffled",
+        "The index side enters the plan exactly twice, both as plain "
+        "scans: its band-0 slice feeds the exact-stage hash join (one "
+        "row per doc, no distinct) and the full band table feeds the "
+        "near-stage candidate equijoin on (band, key) — in production "
+        "the index is written bucketed on those keys, so both are "
+        "bucket-local probes driven by the DELTA's partitioning. "
+        "Everything else is delta-sized: the within-batch first-wins "
+        "window on content_hash, the survivor banding, the survivor "
+        "self-join, and the final max-sim aggregation (the exact-stage "
+        "frame is persisted — InMemoryTableScan below — so the delta's "
+        "signature build runs once, not per branch). The plan must "
+        "show no exchange whose input is the index beyond its scan.",
+        fmt(incremental_dedup(
+            idocs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text"),
+            spark.read.parquet(idx_dir),
+            num_hashes=8, bands=4, shingle_n=2)),
+    ))
+
+    # 19. LM perplexity: model dims broadcast, pre-aggregated doc grams
     from crawl4ai_spark.ops.lm import lm_perplexity_filter
 
     ldocs = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
