@@ -79,9 +79,15 @@ def lm_train(
       consts:      1 row (v DOUBLE, lp_unk BIGINT) — unseen-context rung
     """
     wide = spread_input(clean, text_col)
+    # c1 is referenced three times (consts, bigram_dim's context join,
+    # context_dim) and consts twice more as a broadcast side — without a
+    # persist each reference re-runs the clean-corpus token explode +
+    # aggregation (the ops/dsir.py extra-corpus-scans defect). Both
+    # frames are model-vocabulary-sized, so caching them is free.
     c1 = (
         wide.select(F.explode(tokens(text_col)).alias("w"))
         .groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("c1"))
+        .persist()
     )
     c2 = (
         wide.select(F.explode(word_ngrams(text_col, 2)).alias("g"))
@@ -90,7 +96,7 @@ def lm_train(
     # V = train vocab + 1 OOV slot, as a 1-row dim (no driver count job)
     consts = c1.agg((F.count(F.lit(1)) + 1).cast("double").alias("v")).select(
         "v", _lp_int(F.lit(lam), F.lit(lam) * F.col("v")).alias("lp_unk")
-    )
+    ).persist()
     # every bigram's context word is itself a training token, so the
     # join is inner and loses nothing
     c2p = c2.withColumn("prev", F.split(F.col("g"), " ").getItem(0))
@@ -128,15 +134,20 @@ def perplexity_scores(
     lowest per-token NLL (most reference-like) within its language,
     ties broken by doc_id so the split is deterministic cross-engine.
     """
-    grams = word_ngrams(text_col, 2)
+    # NB: n_grams is deliberately NOT a projected column here — a
+    # non-generator expression alongside an explode lands in the
+    # Project ABOVE the Generate, so size(grams) would re-build the
+    # gram array once per EXPLODED ROW (O(L) work x L rows = O(L^2)
+    # per doc; measured 10x the whole query's cost at sf0.1). The
+    # total gram count is recovered for free as SUM(nb) in the final
+    # doc-keyed aggregation instead.
     dg = spread_input(corpus, text_col).select(
         F.col(id_col).alias("doc_id"),
         F.col(lang_col).alias("lang"),
-        F.size(grams).cast("long").alias("n_grams"),
-        F.explode(grams).alias("g"),
+        F.explode(word_ngrams(text_col, 2)).alias("g"),
     )
     # shrink the stream to (doc, distinct gram) BEFORE the model joins
-    db = dg.groupBy("doc_id", "lang", "n_grams", "g").agg(
+    db = dg.groupBy("doc_id", "lang", "g").agg(
         F.count(F.lit(1)).alias("nb")
     ).withColumn("prev", F.split(F.col("g"), " ").getItem(0))
     joined = (
@@ -144,12 +155,13 @@ def perplexity_scores(
         .join(context_dim, db["prev"] == context_dim["w"], "left")
         .crossJoin(F.broadcast(consts.select("lp_unk")))
         .select(
-            "doc_id", "lang", "n_grams", "nb",
+            "doc_id", "lang", "nb",
             F.coalesce("lp", "lp_oov", "lp_unk").alias("lp_g"),
         )
     )
-    sc = joined.groupBy("doc_id", "lang", "n_grams").agg(
-        (-F.sum(F.col("nb") * F.col("lp_g"))).alias("nll_scaled")
+    sc = joined.groupBy("doc_id", "lang").agg(
+        F.sum("nb").cast("long").alias("n_grams"),
+        (-F.sum(F.col("nb") * F.col("lp_g"))).alias("nll_scaled"),
     )
     avg = F.round(
         F.col("nll_scaled") / F.greatest(F.col("n_grams"), F.lit(1))

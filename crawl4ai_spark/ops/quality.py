@@ -54,15 +54,23 @@ def _grams(words: Column, n: int) -> Column:
     """
     if n == 1:
         return words
+
     # guard: sequence(1, 0) is DESCENDING [1,0] in Spark, not empty —
-    # short docs must yield an empty gram array explicitly
-    return F.when(
-        F.size(words) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - (n - 1)),
-            lambda i: F.array_join(F.slice(words, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # short docs must yield an empty gram array explicitly.
+    # The words array is let-bound via a single-element transform (see
+    # ops/text.word_ngrams): a HOF re-evaluates captured children per
+    # element, so slicing the raw expression would recompute it once
+    # per output gram — O(L^2) when callers pass tokens(text).
+    def _of(t):
+        return F.when(
+            F.size(t) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - (n - 1)),
+                lambda i: F.array_join(F.slice(t, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.flatten(F.transform(F.array(words), _of))
 
 
 def gram_counts(df: DataFrame, text_col: str = "text",

@@ -116,10 +116,19 @@ def lang_id(col, markers: dict[str, tuple[str, ...]] | None = None) -> Column:
 def word_ngrams(col, n: int) -> Column:
     """Word n-gram shingles as strings ('a b c' for n=3). Docs shorter
     than n yield one (short) shingle — guards Spark's descending
-    sequence(1,0) edge and keeps every doc fingerprintable."""
-    toks = tokens(col)
-    starts = F.sequence(F.lit(1), F.greatest(F.lit(1), F.size(toks) - (n - 1)))
-    return F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    sequence(1,0) edge and keeps every doc fingerprintable.
+
+    The token array is LET-BOUND via a single-element transform before
+    the sliding window: a higher-order function re-evaluates captured
+    child expressions per element, so the naive form (slice(split(text),
+    i, n) inside the lambda) re-splits the document once per output
+    shingle — O(L^2) characters per doc, ruinous on 10k-token documents
+    at corpus scale. Binding the array as a lambda variable evaluates
+    the split exactly once per row: O(L*n)."""
+    return F.flatten(F.transform(F.array(tokens(col)), lambda t: F.transform(
+        F.sequence(F.lit(1), F.greatest(F.lit(1), F.size(t) - (n - 1))),
+        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+    )))
 
 
 def content_fingerprint(col) -> Column:
@@ -139,12 +148,17 @@ def shingle_fingerprint(col, n: int = 3) -> Column:
 def chunk_fixed_words(df: DataFrame, text_col: str, chunk_size: int,
                       out_col: str = "chunk") -> DataFrame:
     """FixedLengthWordChunking: consecutive chunk_size-word chunks.
-    posexplode keeps the chunk index (chunk_id) for downstream order."""
-    toks = tokens(text_col)
-    starts = F.sequence(
-        F.lit(1), F.greatest(F.lit(1), F.size(toks)), F.lit(chunk_size)
-    )
-    chunks = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, chunk_size)))
+    posexplode keeps the chunk index (chunk_id) for downstream order.
+    Token array let-bound (see word_ngrams) — split once per doc, not
+    once per chunk."""
+    def _chunks(t):
+        starts = F.sequence(
+            F.lit(1), F.greatest(F.lit(1), F.size(t)), F.lit(chunk_size)
+        )
+        return F.transform(
+            starts, lambda i: F.concat_ws(" ", F.slice(t, i, chunk_size)))
+
+    chunks = F.flatten(F.transform(F.array(tokens(text_col)), _chunks))
     return df.select(
         "*", F.posexplode(chunks).alias("chunk_id", out_col)
     )
@@ -153,11 +167,16 @@ def chunk_fixed_words(df: DataFrame, text_col: str, chunk_size: int,
 def chunk_sliding_window(df: DataFrame, text_col: str, window: int, step: int,
                          out_col: str = "chunk") -> DataFrame:
     """SlidingWindowChunking: window-size word chunks every `step` words
-    (chunking_strategy.py:180-214). Short docs yield themselves whole."""
-    toks = tokens(text_col)
-    last_start = F.greatest(F.lit(1), F.size(toks) - (window - 1))
-    starts = F.sequence(F.lit(1), last_start, F.lit(step))
-    chunks = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, window)))
+    (chunking_strategy.py:180-214). Short docs yield themselves whole.
+    Token array let-bound (see word_ngrams) — split once per doc, not
+    once per window."""
+    def _chunks(t):
+        last_start = F.greatest(F.lit(1), F.size(t) - (window - 1))
+        starts = F.sequence(F.lit(1), last_start, F.lit(step))
+        return F.transform(
+            starts, lambda i: F.concat_ws(" ", F.slice(t, i, window)))
+
+    chunks = F.flatten(F.transform(F.array(tokens(text_col)), _chunks))
     return df.select("*", F.posexplode(chunks).alias("chunk_id", out_col))
 
 
@@ -194,16 +213,20 @@ def chunk_overlapping(df: DataFrame, text_col: str, window: int = 1000,
     original text unchanged; the final window is the first one whose end
     reaches the last word (the while-loop break)."""
     step = window - overlap
-    toks = tokens(text_col)
-    n = F.size(toks)
-    # last start k*step is the smallest with start+window >= n
-    last_k = F.ceil((n - window).cast("double") / step).cast("int")
-    starts = F.sequence(F.lit(1), last_k * step + 1, F.lit(step))
-    chunks = F.when(
-        n <= window, F.array(_c(text_col))
-    ).otherwise(
-        F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, window)))
-    )
+
+    def _chunks(t):
+        n = F.size(t)
+        # last start k*step is the smallest with start+window >= n
+        last_k = F.ceil((n - window).cast("double") / step).cast("int")
+        starts = F.sequence(F.lit(1), last_k * step + 1, F.lit(step))
+        return F.when(
+            n <= window, F.array(_c(text_col))
+        ).otherwise(
+            F.transform(starts, lambda i: F.concat_ws(" ", F.slice(t, i, window)))
+        )
+
+    # token array let-bound (see word_ngrams): split once per doc
+    chunks = F.flatten(F.transform(F.array(tokens(text_col)), _chunks))
     return df.select("*", F.posexplode(chunks).alias("chunk_id", out_col))
 
 
