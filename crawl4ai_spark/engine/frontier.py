@@ -82,6 +82,13 @@ class CrawlConfig:
     n_salts: int = 8
     # seen set
     use_bloom: bool = True
+    # pre-filter backend: "bloom" (default — pure vectorized, no
+    # deletion) or "cuckoo" (engine/cuckoo.py — deletion-capable for
+    # TTL/recrawl semantics; insertion is a per-key chain, see module
+    # docstring). Both are exact-set-preserving pre-filters: probe
+    # false positives fall through to the exact anti-join, and neither
+    # can produce a false negative.
+    seen_filter: str = "bloom"
     n_shards: int = 32
     bloom_m_bits: int = 1 << 20              # initial/floor per-shard size
     bloom_k: int = 7
@@ -201,9 +208,18 @@ class CrawlEngine:
         self.t_host = warehouse.table("host_state")
         self.t_metrics = warehouse.table("metrics")
         self.t_bloom = warehouse.table("seen_bloom")
-        self.bloom = BloomSeenSet(
-            self.t_bloom, self.cfg.n_shards, self.cfg.bloom_m_bits, self.cfg.bloom_k
-        )
+        if self.cfg.seen_filter == "cuckoo":
+            from crawl4ai_spark.engine.cuckoo import CuckooSeenSet
+
+            # same duck-typed surface (build/add_hashes/probe/capacity/
+            # m_bits); the blob schema differs, hence its own table
+            self.t_bloom = warehouse.table("seen_cuckoo")
+            self.bloom = CuckooSeenSet(self.t_bloom, self.cfg.n_shards)
+        else:
+            self.bloom = BloomSeenSet(
+                self.t_bloom, self.cfg.n_shards, self.cfg.bloom_m_bits,
+                self.cfg.bloom_k
+            )
         from crawl4ai_spark.engine.adaptive_state import AdaptiveState
 
         self.adaptive_state = AdaptiveState(warehouse)
