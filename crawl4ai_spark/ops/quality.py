@@ -158,6 +158,90 @@ def gopher_signals(df: DataFrame, text_col: str = "text",
     )
 
 
+# -- Gopher document-quality rules (the non-repetition half) -----------------
+
+# Rae et al. 2021 App. A1.1 thresholds
+GOPHER_RULE_MIN_WORDS = 50
+GOPHER_RULE_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_WORD_RATIO = 0.10
+GOPHER_MAX_BULLET_LINE_FRAC = 0.90
+GOPHER_MAX_ELLIPSIS_LINE_FRAC = 0.30
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.80
+GOPHER_MIN_STOP_HITS = 2
+GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_rules(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """The full Gopher document-quality rule set (Rae et al. 2021
+    App. A1.1) — the complement of :func:`gopher_signals`'s repetition
+    rules: word-count bounds, mean word length, symbol-to-word ratio
+    ('#' and '...'), bullet-started and ellipsis-ended line fractions,
+    alphabetic-word fraction, and the required-stop-word rule.
+
+    One per-row projection, ZERO shuffle (the cheapest stage of the
+    curation stack — run it first to shrink everything downstream).
+    Expressions are engine-portable (whitespace split, substring
+    counts, LIKE-style prefix/suffix tests) so the op has an exact
+    DuckDB oracle. Fractions rounded to 6dp.
+
+    Output: (doc_id, n_words, mean_word_len, symbol_word_ratio,
+    bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+    n_stop_hits, keep).
+    """
+    t = F.col(text_col)
+    words = F.split(t, r"\s+")
+    lines = F.split(t, "\n")
+    n_words = F.size(words).cast("long")
+    n_lines = F.size(lines).cast("double")
+    mean_len = F.round(
+        F.aggregate(words, F.lit(0).cast("long"),
+                    lambda a, w: a + F.length(w)).cast("double")
+        / n_words.cast("double"), 6)
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ellipsis = (F.length(t)
+                  - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
+    symbol_ratio = F.round((n_hash + n_ellipsis).cast("double")
+                           / n_words.cast("double"), 6)
+    bullet_frac = F.round(
+        F.size(F.filter(lines, lambda l: l.startswith("- ")
+                        | l.startswith("* "))).cast("double") / n_lines, 6)
+    ellipsis_frac = F.round(
+        F.size(F.filter(lines, lambda l: l.endswith("..."))).cast("double")
+        / n_lines, 6)
+    alpha_frac = F.round(
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))).cast("double")
+        / n_words.cast("double"), 6)
+    stop_hits = sum(
+        (F.array_contains(words, sw).cast("int") for sw in GOPHER_STOP_WORDS),
+        F.lit(0),
+    ).cast("long")
+
+    out = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        n_words.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_word_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_frac.alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        stop_hits.alias("n_stop_hits"),
+    )
+    keep = (
+        F.col("n_words").between(GOPHER_RULE_MIN_WORDS, GOPHER_RULE_MAX_WORDS)
+        & F.col("mean_word_len").between(GOPHER_MIN_MEAN_WORD_LEN,
+                                         GOPHER_MAX_MEAN_WORD_LEN)
+        & (F.col("symbol_word_ratio") <= GOPHER_MAX_SYMBOL_WORD_RATIO)
+        & (F.col("bullet_line_frac") <= GOPHER_MAX_BULLET_LINE_FRAC)
+        & (F.col("ellipsis_line_frac") <= GOPHER_MAX_ELLIPSIS_LINE_FRAC)
+        & (F.col("alpha_word_frac") >= GOPHER_MIN_ALPHA_WORD_FRAC)
+        & (F.col("n_stop_hits") >= GOPHER_MIN_STOP_HITS)
+    )
+    return out.withColumn("keep", keep)
+
+
 # -- benchmark decontamination ------------------------------------------------
 
 def doc_grams(df: DataFrame, n: int, text_col: str = "text",

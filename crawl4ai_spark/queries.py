@@ -2063,6 +2063,7 @@ _TAIL = [
     "adaptive_saturation", "adaptive_term_stats", "adaptive_consistency",
     "url_base_domain", "dedup_simhash", "jsonxpath_extract",
     "dedup_ngram_capped", "embedding_neardup_lsh",
+    "quality_gopher_rules",
     "curation_pipeline", "html_tables", "html_media_meta",
     "politeness_fairness", "sitemap_seeds", "scheme_fetch",
     "cache_read", "cache_upsert", "url_normalize_fast",
@@ -3598,6 +3599,109 @@ SELECT id AS doc_id, n_words, top_word_frac, top_bigram_frac,
             THEN 1 ELSE 0 END AS keep
 FROM sig
 """
+
+
+def _gopher_rules_oracle() -> str:
+    from crawl4ai_spark.ops.quality import (
+        GOPHER_MAX_BULLET_LINE_FRAC,
+        GOPHER_MAX_ELLIPSIS_LINE_FRAC,
+        GOPHER_MAX_MEAN_WORD_LEN,
+        GOPHER_MAX_SYMBOL_WORD_RATIO,
+        GOPHER_MIN_ALPHA_WORD_FRAC,
+        GOPHER_MIN_MEAN_WORD_LEN,
+        GOPHER_MIN_STOP_HITS,
+        GOPHER_RULE_MAX_WORDS,
+        GOPHER_RULE_MIN_WORDS,
+        GOPHER_STOP_WORDS,
+    )
+
+    stop_sum = " + ".join(
+        f"CAST(list_contains(w, '{s}') AS INT)" for s in GOPHER_STOP_WORDS
+    )
+    return f"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         string_split(text, ' ') AS toks
+  FROM documents
+),
+built AS (
+  SELECT doc_id,
+    array_to_string(list_transform(range(1, greatest(1, len(toks)) + 1, 8),
+        i -> array_to_string(list_slice(toks, i, i + 7), ' ')), chr(10))
+    || CASE WHEN doc_id % 7 = 0
+            THEN chr(10) || '- item alpha' || chr(10) || '- item beta'
+            ELSE '' END
+    || CASE WHEN doc_id % 11 = 3
+            THEN chr(10) || 'to be continued...' || chr(10) || 'more soon...'
+            ELSE '' END
+    || CASE WHEN doc_id % 13 = 1
+            THEN chr(10) || '# ## ###' ELSE '' END AS txt
+  FROM d
+),
+parts AS (
+  SELECT doc_id, txt,
+         regexp_split_to_array(txt, '\\s+') AS w,
+         string_split(txt, chr(10)) AS ls
+  FROM built
+),
+sig AS (
+  SELECT doc_id,
+    CAST(len(w) AS BIGINT) AS n_words,
+    CAST(ROUND(list_sum(list_transform(w, x -> length(x))) * 1.0 / len(w), 6)
+         AS DOUBLE) AS mean_word_len,
+    CAST(ROUND(((length(txt) - length(replace(txt, '#', '')))
+        + (length(txt) - length(replace(txt, '...', ''))) / 3.0)
+        / len(w), 6) AS DOUBLE) AS symbol_word_ratio,
+    CAST(ROUND(len(list_filter(ls, l -> l LIKE '- %' OR l LIKE '* %')) * 1.0
+        / len(ls), 6) AS DOUBLE) AS bullet_line_frac,
+    CAST(ROUND(len(list_filter(ls, l -> l LIKE '%...')) * 1.0
+        / len(ls), 6) AS DOUBLE) AS ellipsis_line_frac,
+    CAST(ROUND(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0
+        / len(w), 6) AS DOUBLE) AS alpha_word_frac,
+    CAST({stop_sum} AS BIGINT) AS n_stop_hits
+  FROM parts
+)
+SELECT *,
+  CAST(CASE WHEN n_words BETWEEN {GOPHER_RULE_MIN_WORDS} AND {GOPHER_RULE_MAX_WORDS}
+        AND mean_word_len BETWEEN {GOPHER_MIN_MEAN_WORD_LEN} AND {GOPHER_MAX_MEAN_WORD_LEN}
+        AND symbol_word_ratio <= {GOPHER_MAX_SYMBOL_WORD_RATIO}
+        AND bullet_line_frac <= {GOPHER_MAX_BULLET_LINE_FRAC}
+        AND ellipsis_line_frac <= {GOPHER_MAX_ELLIPSIS_LINE_FRAC}
+        AND alpha_word_frac >= {GOPHER_MIN_ALPHA_WORD_FRAC}
+        AND n_stop_hits >= {GOPHER_MIN_STOP_HITS}
+   THEN 1 ELSE 0 END AS INT) AS keep
+FROM sig
+"""
+
+
+@register("quality_gopher_rules", _gopher_rules_oracle())
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Gopher document-quality rule set (Rae et al. 2021
+    App. A1.1 — word-count/mean-length bounds, symbol ratio, bullet and
+    ellipsis line fractions, alphabetic-word fraction, stop-word rule)
+    over a corpus with every rule class planted: line-wrapped bodies,
+    bullet prefixes (doc_id%7), ellipsis tails (%11), symbol runs
+    (%13). One zero-shuffle projection."""
+    from crawl4ai_spark.ops.quality import gopher_quality_rules
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    i = F.col("doc_id")
+    toks = F.split("text", " ")
+    starts = F.sequence(F.lit(1), F.greatest(F.lit(1), F.size(toks)), F.lit(8))
+    body = F.array_join(
+        F.transform(starts, lambda s: F.concat_ws(" ", F.slice(toks, s, 8))),
+        "\n")
+    txt = F.concat(
+        body,
+        F.when(i % 7 == 0, F.lit("\n- item alpha\n- item beta")).otherwise(""),
+        F.when(i % 11 == 3,
+               F.lit("\nto be continued...\nmore soon...")).otherwise(""),
+        F.when(i % 13 == 1, F.lit("\n# ## ###")).otherwise(""),
+    )
+    out = gopher_quality_rules(docs.select("doc_id", txt.alias("text")))
+    return out.withColumn("keep", F.col("keep").cast("int"))
 
 
 @register("quality_gopher", _gopher_oracle())

@@ -118,3 +118,50 @@ def test_redact_pii_no_match_is_identity(spark):
                   ).collect()[0]
     assert r["red"] == "plain text only"
     assert (r["e"], r["p"], r["i"]) == (0, 0, 0)
+
+
+# -- Gopher document-quality rules (A1.1, non-repetition half) --------------
+
+def _rules(spark, texts):
+    from crawl4ai_spark.ops.quality import gopher_quality_rules
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    return {r["doc_id"]: r.asDict()
+            for r in gopher_quality_rules(df).collect()}
+
+
+def test_rules_good_doc_keeps(spark):
+    good = " ".join(
+        "the quick brown fox and that dog have gone to be of use with".split()
+        * 6)  # 84 words, all alpha, stops present, no symbols/bullets
+    out = _rules(spark, [good])[0]
+    assert out["keep"] is True
+    assert out["n_words"] == 84
+    assert 3.0 <= out["mean_word_len"] <= 10.0
+    assert out["n_stop_hits"] == 8
+
+
+def test_rules_word_count_and_stops(spark):
+    out = _rules(spark, ["too short to keep", "x " * 60])
+    assert out[0]["keep"] is False          # < 50 words
+    assert out[1]["n_stop_hits"] == 0       # no stop words -> drop
+    assert out[1]["keep"] is False
+
+
+def test_rules_bullet_and_ellipsis_lines(spark):
+    body = " ".join(["the and of to"] * 15)
+    bullets = "\n".join(["- item"] * 19) + "\n" + body   # 95% bullet lines
+    dots = "\n".join(["cliffhanger..."] * 2) + "\n" + body  # 2/3 ellipsis
+    out = _rules(spark, [bullets, dots])
+    assert out[0]["bullet_line_frac"] == 0.95 and out[0]["keep"] is False
+    assert abs(out[1]["ellipsis_line_frac"] - 2 / 3) < 1e-6
+    assert out[1]["keep"] is False
+
+
+def test_rules_symbols_and_alpha(spark):
+    body = " ".join(["the and of to"] * 15)  # 60 words
+    hashy = body + " " + " ".join(["#"] * 8)       # 8 symbols / 68 words
+    nums = " ".join(["123 456 the and of to"] * 15)  # 1/3 non-alpha words
+    out = _rules(spark, [hashy, nums])
+    assert out[0]["symbol_word_ratio"] > 0.10 and out[0]["keep"] is False
+    assert out[1]["alpha_word_frac"] < 0.80 and out[1]["keep"] is False
