@@ -102,6 +102,15 @@ class CrawlConfig:
     # anti-join against the (small) seen delta of unsynced rounds keeps
     # dedup exact while amortizing the shard-write job to 1/K per round
     bloom_sync_rounds: int = 8
+    # recrawl scheduling (default off): seen entries enqueued more than
+    # this many rounds ago EXPIRE at the round close — an expired URL
+    # that is rediscovered is crawled again. Expiry is a metadata-only
+    # dir drop on the round-partitioned seen table (Iceberg DeleteFiles
+    # shape — no rewrite job); with seen_filter="cuckoo" the expired
+    # hashes are also DELETED from the filter shards (the capability
+    # the bloom lacks — its stale entries cost only pre-filter FPs
+    # until its next rebuild, never correctness).
+    seen_ttl_rounds: Optional[int] = None
     bloom_headroom: float = 4.0              # growth headroom on (re)build
     # capacity cap: below this `remaining`, exact global top-k
     # (TakeOrdered); above it, an approx-quantile score cut — an exact
@@ -172,6 +181,16 @@ STATE_FIELDS = FRONTIER_FIELDS + [
 _SEEN_COLS = ["url_hash", "url_norm", "depth", "parent_url", "round"]
 
 _state_struct_cache = None
+
+
+def _round_of_dir(rel_dir: str) -> Optional[int]:
+    """Round number of a seen-table data dir adopted from a per-round
+    tagged state write (…/state/r000123/tag=n); None for non-round dirs
+    (the empty init snapshot's d-… dir)."""
+    for part in rel_dir.replace("\\", "/").split("/"):
+        if len(part) == 7 and part[0] == "r" and part[1:].isdigit():
+            return int(part[1:])
+    return None
 
 
 def _state_struct():
@@ -695,6 +714,28 @@ class CrawlEngine:
             df.unpersist()
         self._scratch.clear()
         _tr("adopt_unpersist")
+
+        # -- seen TTL expiry (recrawl scheduling; default off) --------------
+        # The seen table holds exactly one round-stamped dir per round
+        # (plus the empty init snapshot), so expiry is a drop_dirs
+        # metadata commit — no job. _seen_count intentionally keeps the
+        # pre-expiry total: it only gates/sizes the pre-filter, where an
+        # overestimate is conservative (dead filter entries are FPs that
+        # fall through to the now-clean exact anti-join).
+        if cfg.seen_ttl_rounds is not None:
+            cutoff = rnd - cfg.seen_ttl_rounds
+            expired_rel = [
+                d for d in self.t_seen.snapshot_data()
+                if _round_of_dir(d) is not None and _round_of_dir(d) <= cutoff
+            ]
+            if expired_rel:
+                if self._bloom_built and hasattr(self.bloom, "delete_hashes"):
+                    exp = self.spark.read.parquet(*[
+                        os.path.join(self.t_seen.path, d) for d in expired_rel
+                    ])
+                    self.bloom.delete_hashes(self.spark, exp.select("url_hash"))
+                self.t_seen.drop_dirs(expired_rel)
+        _tr("seen_ttl")
 
         # -- bloom maintenance (amortized; exactness never depends on it) --
         # The post-adoption seen read only happens on rounds that will

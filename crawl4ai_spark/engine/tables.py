@@ -191,6 +191,19 @@ class SnapshotTable:
         # old dirs, still present) before the commit+cleanup
         return self.overwrite(merged)
 
+    def drop_dirs(self, rel_dirs: list[str]) -> int:
+        """Remove data dirs from the manifest — the Iceberg DeleteFiles /
+        drop-partition analogue: a constant-time metadata commit, no
+        data rewrite, no Spark job. Files stay on disk so committed
+        round checkpoints can still roll back; vacuum reclaims them
+        once no checkpoint references them."""
+        gone = set(rel_dirs)
+        m = self._read_manifest()
+        m = {"version": m["version"] + 1,
+             "data": [d for d in m["data"] if d not in gone]}
+        self._commit(m)
+        return m["version"]
+
     def rollback_to(self, version_data: list[str]) -> None:
         self._commit({"version": self.version + 1, "data": version_data})
         self._schema = None  # restored dirs may predate the cached schema
