@@ -82,8 +82,11 @@ def _alt(i: np.ndarray, fp: np.ndarray, m: int) -> np.ndarray:
 
 def size_buckets(expected_n: int, n_shards: int, floor_buckets: int = 1 << 10) -> int:
     """Per-shard bucket count for expected_n total keys at TARGET_LOAD,
-    power of two (the i1^offset involution requires it)."""
-    per_shard = max(1.0, expected_n / max(1, n_shards)) / (SLOTS * TARGET_LOAD)
+    power of two (the i1^offset involution requires it). The >=1 clamp
+    must come AFTER the slots division: clamping the per-shard key
+    count instead leaves log2 of a sub-1 ratio, and ``1 << -1`` raises
+    (ValueError) for any expected_n below ~4*shards."""
+    per_shard = max(1.0, expected_n / max(1, n_shards) / (SLOTS * TARGET_LOAD))
     return max(floor_buckets, 1 << int(np.ceil(np.log2(per_shard))))
 
 
@@ -207,7 +210,11 @@ class CuckooSeenSet:
 
     @m_bits.setter
     def m_bits(self, v: int) -> None:
-        self.m_buckets = max(1, int(v) // (SLOTS * 16))
+        # round UP to a power of two: the i1^offset involution requires
+        # pow2 bucket counts, and a checkpoint written by a bloom run
+        # (any m is legal there) may restore an arbitrary value here
+        b = max(1, int(v) // (SLOTS * 16))
+        self.m_buckets = 1 << (b - 1).bit_length()
 
     def shard_col(self, hash_col):
         return F.pmod(hash_col, F.lit(self.n_shards)).cast("int")

@@ -362,6 +362,15 @@ class CrawlEngine:
         self._seen_count = last.get("seen_count", 0)
         self._bloom_built = last.get("bloom_built", False)
         self._bloom_synced_round = last.get("bloom_synced_round", -1)
+        if self._bloom_built and not self.t_bloom.exists():
+            # checkpoint written under the OTHER filter backend (bloom
+            # vs cuckoo keep separate tables): trusting bloom_built
+            # against an empty table would mark every candidate
+            # definitely-new and bypass the exact anti-join for synced
+            # rounds — a mass re-crawl. Fall back to exact-only dedup;
+            # the filter rebuilds at its engage threshold.
+            self._bloom_built = False
+            self._bloom_synced_round = -1
         self._frontier_count = last.get("frontier_count")
         if last.get("bloom_m_bits"):
             self.bloom.m_bits = last["bloom_m_bits"]
@@ -730,10 +739,22 @@ class CrawlEngine:
             ]
             if expired_rel:
                 if self._bloom_built and hasattr(self.bloom, "delete_hashes"):
-                    exp = self.spark.read.parquet(*[
-                        os.path.join(self.t_seen.path, d) for d in expired_rel
-                    ])
-                    self.bloom.delete_hashes(self.spark, exp.select("url_hash"))
+                    # delete ONLY rounds the amortized sync has actually
+                    # inserted (round <= _bloom_synced_round). Hashes
+                    # from unsynced expired rounds were never added —
+                    # and never will be, since their dirs drop below —
+                    # and deleting a never-inserted key can strip a live
+                    # key's colliding fingerprint (same 16-bit fp, same
+                    # bucket orbit), the false negative the filter
+                    # contract forbids.
+                    synced = [d for d in expired_rel
+                              if _round_of_dir(d) <= self._bloom_synced_round]
+                    if synced:
+                        exp = self.spark.read.parquet(*[
+                            os.path.join(self.t_seen.path, d) for d in synced
+                        ])
+                        self.bloom.delete_hashes(
+                            self.spark, exp.select("url_hash"))
                 self.t_seen.drop_dirs(expired_rel)
         _tr("seen_ttl")
 

@@ -115,6 +115,30 @@ def _band_rows(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     ).select(*carried, "bk.band", "bk.key")
 
 
+def _est_sim(sig_a, sig_b, num_hashes: int):
+    """Estimated Jaccard similarity: fraction of equal signature
+    components."""
+    return (
+        F.size(F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y),
+                        lambda eq: eq)).cast("double")
+        / F.lit(float(num_hashes))
+    )
+
+
+def _cap_band_buckets(banded: DataFrame, max_bucket_df: int) -> DataFrame:
+    """Null the band ``key`` of rows beyond the K lowest ids in each
+    (band, key) bucket: the rows stay (hash/sig columns keep serving
+    exact membership), but a null key can never match a candidate
+    equijoin — near-dup pairs can only be MISSED, never invented."""
+    bw = Window.partitionBy("band", "key").orderBy("id")
+    return (
+        banded.withColumn("__brk", F.row_number().over(bw))
+        .withColumn("key", F.when(F.col("__brk") <= max_bucket_df,
+                                  F.col("key")))
+        .drop("__brk")
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -167,15 +191,7 @@ def lsh_candidate_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-                lambda eq: eq,
-            )
-        ).cast("double")
-        / F.lit(float(num_hashes))
-    )
+    est = _est_sim("sig_a", "sig_b", num_hashes)
     return pairs.select("id_a", "id_b", F.round(est, 6).alias("est_sim"))
 
 
@@ -606,13 +622,7 @@ def minhash_index(df: DataFrame, text_col: str = "text",
     )
     banded = _band_rows(sig, num_hashes, bands)
     if max_bucket_df is not None:
-        bw = Window.partitionBy("band", "key").orderBy("id")
-        banded = (
-            banded.withColumn("__brk", F.row_number().over(bw))
-            .withColumn("key", F.when(F.col("__brk") <= max_bucket_df,
-                                      F.col("key")))
-            .drop("__brk")
-        )
+        banded = _cap_band_buckets(banded, max_bucket_df)
     return banded
 
 
@@ -672,6 +682,13 @@ def incremental_dedup(new_docs: DataFrame, index: DataFrame,
     stage and would otherwise make the within-batch self-join
     quadratic in the bucket. History-side capping belongs at index
     build/compaction time, not here.
+
+    Cache lifetime: the exact-stage frame is persist()ed (it feeds
+    three downstream branches) and the handle is internal — the blocks
+    live until the result frame is garbage-collected (Spark's
+    ContextCleaner unpersists on GC) or the session ends. One
+    delta-sized cache per invocation; a driver looping over many
+    snapshots should drop its result references between batches.
     """
     sig_new = _relational_signatures(
         spread_input(new_docs, id_col), text_col, id_col,
@@ -701,20 +718,10 @@ def incremental_dedup(new_docs: DataFrame, index: DataFrame,
     surv = _band_rows(exact.where(~F.col("is_exact")).select("id", "sig"),
                       num_hashes, bands)
     if max_bucket_df is not None:
-        bw = Window.partitionBy("band", "key").orderBy("id")
-        surv = (
-            surv.withColumn("__brk", F.row_number().over(bw))
-            .withColumn("key", F.when(F.col("__brk") <= max_bucket_df,
-                                      F.col("key")))
-            .drop("__brk")
-        )
+        surv = _cap_band_buckets(surv, max_bucket_df)
 
     def est(sig_a, sig_b):
-        return (
-            F.size(F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y),
-                            lambda eq: eq)).cast("double")
-            / F.lit(float(num_hashes))
-        )
+        return _est_sim(sig_a, sig_b, num_hashes)
 
     n, h = surv.alias("n"), index.alias("h")
     vs_hist = (

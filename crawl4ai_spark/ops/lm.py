@@ -77,6 +77,13 @@ def lm_train(
       bigram_dim:  (g STRING, lp BIGINT)        — ln P(w|prev), scaled
       context_dim: (w STRING, lp_oov BIGINT)    — unseen-bigram rung
       consts:      1 row (v DOUBLE, lp_unk BIGINT) — unseen-context rung
+
+    Cache lifetime: the token-count frame and consts are persist()ed
+    deliberately — they ARE the trained model (vocabulary-sized) and
+    every returned dim reads them. The blocks release when the dims
+    are garbage-collected (ContextCleaner) or the session ends;
+    callers training many disjoint models in one session should drop
+    the returned frames between trainings.
     """
     wide = spread_input(clean, text_col)
     # c1 is referenced three times (consts, bigram_dim's context join,

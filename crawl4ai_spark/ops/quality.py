@@ -192,7 +192,12 @@ def gopher_quality_rules(df: DataFrame, text_col: str = "text",
     n_stop_hits, keep).
     """
     t = F.col(text_col)
-    words = F.split(t, r"\s+")
+    # split keeps leading/trailing empty strings (split('a b\n','\s+')
+    # -> ['a','b','']): a phantom zero-length "word" would skew the
+    # word count past a gate boundary and dilute mean length and the
+    # alpha fraction, so empties are filtered — Gopher counts words,
+    # not separators
+    words = F.filter(F.split(t, r"\s+"), lambda w: w != "")
     lines = F.split(t, "\n")
     n_words = F.size(words).cast("long")
     n_lines = F.size(lines).cast("double")

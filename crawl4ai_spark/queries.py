@@ -3640,7 +3640,7 @@ built AS (
 ),
 parts AS (
   SELECT doc_id, txt,
-         regexp_split_to_array(txt, '\\s+') AS w,
+         list_filter(regexp_split_to_array(txt, '\\s+'), x -> x <> '') AS w,
          string_split(txt, chr(10)) AS ls
   FROM built
 ),

@@ -151,3 +151,25 @@ def test_cuckoo_engine_run_matches_bloom_and_exact(spark, tmp_path):
     _, got_bl = crawl("bl", use_bloom=True, bloom_min_seen=5)
     _, got_off = crawl("off", use_bloom=False)
     assert got_ck == got_bl == got_off
+
+
+def test_add_hashes_bootstraps_empty_table(spark, tmp_path):
+    """add_hashes with no prior shards falls back to build(expected_n=1);
+    size_buckets must not crash on tiny expected counts (the 1<<ceil(
+    log2(x<1)) negative-shift hazard) and membership must hold."""
+    assert size_buckets(1, 32) >= 1 << 10
+    assert size_buckets(4, 32) >= 1 << 10
+    t = SnapshotTable(str(tmp_path / "ck"))
+    c = CuckooSeenSet(t, n_shards=4)
+    keys = _hashes(spark, 0, 50)
+    c.add_hashes(spark, keys)  # empty-table bootstrap path
+    assert c.probe(spark, keys).where(~F.col("maybe_seen")).count() == 0
+
+
+def test_m_bits_setter_rounds_to_power_of_two():
+    t = object()
+    c = CuckooSeenSet(t, n_shards=4)
+    c.m_bits = 3000 * SLOTS * 16  # a non-pow2 checkpoint value
+    assert c.m_buckets == 4096    # rounded UP, involution-safe
+    c.m_bits = 1024 * SLOTS * 16
+    assert c.m_buckets == 1024    # pow2 passes through unchanged
