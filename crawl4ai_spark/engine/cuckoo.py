@@ -105,54 +105,86 @@ def size_buckets(expected_n: int, n_shards: int, floor_buckets: int = 1 << 10) -
     return max(floor_buckets, 1 << int(np.ceil(np.log2(per_shard))))
 
 
+def _insert_one(table: np.ndarray, stash: list[int], fp: int, i: int,
+                m: int) -> int:
+    """Per-key slow path: try both buckets, then run the eviction
+    chain (victim slot cycles with the kick counter — deterministic).
+    Returns 1 if the chain overflowed to the stash, else 0."""
+    for b in (i, int(_alt(np.array([i]), np.array([fp], np.uint16), m)[0])):
+        row = table[b]
+        empty = np.flatnonzero(row == 0)
+        if len(empty):
+            row[empty[0]] = fp
+            return 0
+    cur_fp, cur_i = fp, i
+    for kick in range(MAX_KICKS):
+        slot = kick % SLOTS
+        victim = int(table[cur_i, slot])
+        table[cur_i, slot] = cur_fp
+        cur_fp = victim
+        cur_i = int(_alt(np.array([cur_i]), np.array([cur_fp], np.uint16), m)[0])
+        row = table[cur_i]
+        empty = np.flatnonzero(row == 0)
+        if len(empty):
+            row[empty[0]] = cur_fp
+            return 0
+    # chain exhausted: every kick wrote one fingerprint and carried one
+    # out, so the table is consistent except for the finally-carried
+    # cur_fp, whose owner key would turn false-negative if simply
+    # dropped. Stash it as a sentinel (fp << 32) | candidate_bucket —
+    # the owner's OTHER bucket is the involution of this one, so a
+    # probe matching (fp, either bucket) covers it. Sentinels have zero
+    # high 16 bits, so they can never collide with the fingerprint
+    # extraction of a real key (fp is drawn from bits 48-63).
+    stash.append(int((np.uint64(cur_fp) << np.uint64(32)) | np.uint64(cur_i)))
+    return 1
+
+
 def insert_keys(table: np.ndarray, stash: list[int], hashes: np.ndarray,
                 m: int) -> int:
-    """Insert hashes into a (m, SLOTS) uint16 table in input order.
-    Returns the number of keys that overflowed to the stash. Mutates
-    table and stash in place. Deterministic: victim slot cycles with
-    the kick counter."""
+    """Insert hashes into a (m, SLOTS) uint16 table. Returns the number
+    of keys that overflowed to the stash. Mutates table and stash in
+    place. Deterministic (pure function of table state + input array).
+
+    Vectorized fast path: each pass places, for every candidate
+    bucket, the FIRST remaining key targeting it (first-occurrence
+    selection makes the scatter write conflict-free) into the bucket's
+    first free slot; keys whose bucket is full escalate to their alt
+    bucket, and only keys with BOTH buckets full fall to the per-key
+    eviction chain. At the crawl loop's typical loads the chain sees a
+    tiny tail, so throughput is numpy-bound, not Python-bound."""
+    n = len(hashes)
+    if n == 0:
+        return 0
     fps = _fingerprint(hashes)
     i1s = _i1(hashes, m)
+    idx = np.arange(n)
+    cand = i1s.astype(np.int64).copy()
+    use_alt = np.zeros(n, dtype=bool)
+    hard: list[int] = []
+    while len(idx):
+        b = cand[idx]
+        has_free = (table[b] == 0).any(axis=1)
+        sel = np.zeros(len(idx), dtype=bool)
+        sel[np.unique(b, return_index=True)[1]] = True  # first per bucket
+        place = sel & has_free
+        pb = b[place]
+        if len(pb):
+            pslot = (table[pb] == 0).argmax(axis=1)
+            table[pb, pslot] = fps[idx[place]]
+        rem = ~place
+        full = ~has_free
+        ua = use_alt[idx]
+        hard.extend(idx[rem & full & ua].tolist())
+        to_alt = rem & full & ~ua
+        if to_alt.any():
+            cand[idx[to_alt]] = _alt(b[to_alt],
+                                     fps[idx[to_alt]].astype(np.uint16), m)
+            use_alt[idx[to_alt]] = True
+        idx = idx[(rem & ~full) | to_alt]
     overflow = 0
-    for j in range(len(hashes)):
-        fp, i = int(fps[j]), int(i1s[j])
-        placed = False
-        for b in (i, int(_alt(np.array([i]), np.array([fp], np.uint16), m)[0])):
-            row = table[b]
-            empty = np.flatnonzero(row == 0)
-            if len(empty):
-                row[empty[0]] = fp
-                placed = True
-                break
-        if placed:
-            continue
-        # eviction chain, victim slot = kick counter mod SLOTS
-        cur_fp, cur_i = fp, i
-        for kick in range(MAX_KICKS):
-            slot = kick % SLOTS
-            victim = int(table[cur_i, slot])
-            table[cur_i, slot] = cur_fp
-            cur_fp = victim
-            cur_i = int(_alt(np.array([cur_i]), np.array([cur_fp], np.uint16), m)[0])
-            row = table[cur_i]
-            empty = np.flatnonzero(row == 0)
-            if len(empty):
-                row[empty[0]] = cur_fp
-                cur_fp = 0
-                break
-        if cur_fp:
-            # chain exhausted: every kick wrote one fingerprint and
-            # carried one out, so the table is consistent except for
-            # the finally-carried cur_fp, whose owner key would turn
-            # false-negative if simply dropped. Stash it as a sentinel
-            # (fp << 32) | candidate_bucket — the owner's OTHER bucket
-            # is the involution of this one, so a probe matching
-            # (fp, either bucket) covers it. Sentinels have zero high
-            # 16 bits, so they can never collide with the fingerprint
-            # extraction of a real key (fp is drawn from bits 48-63).
-            stash.append(int((np.uint64(cur_fp) << np.uint64(32))
-                             | np.uint64(cur_i)))
-            overflow += 1
+    for j in hard:
+        overflow += _insert_one(table, stash, int(fps[j]), int(i1s[j]), m)
     return overflow
 
 
