@@ -24,12 +24,15 @@ Same scale posture as the bloom shards, same storage contract:
     the engine rebuilds at a round boundary when outgrown, exactly the
     bloom's schedule.
 
-Honest cost note: cuckoo insertion is an eviction chain — inherently
-sequential per key — so ``add`` runs a per-key numpy loop inside each
-shard batch (shards parallelize; probes and the common no-collision
-fast path are vectorized). The bloom remains the default crawl-loop
-pre-filter (pure vectorized OR); choose the cuckoo (CrawlConfig
-seen_filter="cuckoo") when deletion semantics are worth that constant.
+Honest cost note: insertion is a placement problem the bloom doesn't
+have. The fast path is vectorized (per pass, the first remaining key
+targeting each bucket places conflict-free; full-bucket keys escalate
+to their alt bucket) and only keys with BOTH buckets full run the
+per-key eviction chain — measured 465k inserts/s single-thread at 76%
+load vs the bloom's pure OR at several millions/s (BENCH.md, cuckoo
+stress). The bloom remains the default crawl-loop pre-filter; choose
+the cuckoo (CrawlConfig seen_filter="cuckoo") when deletion semantics
+(seen-TTL recrawl, cache eviction) are worth that constant.
 
 Determinism: fingerprints, bucket choices, victim slots and kick
 sequences are all pure functions of the key hash and the insertion
