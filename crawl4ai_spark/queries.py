@@ -1661,6 +1661,118 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    bands=_MINHASH_BANDS, shingle_n=2)
 
 
+_INCR_CAP = 8
+_INCR_FLOOD = "degenerate boilerplate flood body here"
+
+
+def _incr_capped_oracle() -> str:
+    rows = _MINHASH_H // _MINHASH_BANDS
+    toks = "string_split(text, ' ')"
+    bi = (f"list_transform(range(1, greatest(2, len({toks}))), "
+          f"i -> array_to_string(list_slice({toks}, i, i + 1), ' '))")
+    sig_terms = ", ".join(
+        f"list_min(list_transform(sh, s -> {_h64('s', seed=k)}))"
+        for k in range(_MINHASH_H)
+    )
+
+    def bands(src: str) -> str:
+        inner = " UNION ALL ".join(
+            f"""SELECT id, sig, {b} AS band, md5({" || ',' || ".join(
+                f"CAST(sig[{b * rows + r + 1}] AS VARCHAR)" for r in range(rows)
+            )}) AS key FROM {src}"""
+            for b in range(_MINHASH_BANDS)
+        )
+        # the null-key cap (minhash_index / incremental_dedup
+        # max_bucket_df): keep the K lowest ids' keys per bucket, null
+        # the rest — rows stay, so exact-hash membership is unaffected
+        return (f"SELECT id, sig, band, "
+                f"CASE WHEN rn <= {_INCR_CAP} THEN key END AS key FROM "
+                f"(SELECT *, ROW_NUMBER() OVER (PARTITION BY band, key "
+                f"ORDER BY id) AS rn FROM ({inner}))")
+
+    sim = (f"len(list_filter(range(1, {_MINHASH_H + 1}), "
+           f"j -> a.sig[j] = b.sig[j])) / {_MINHASH_H}.0")
+    return f"""
+WITH hist AS (
+  SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT) + 5000000, '{_INCR_FLOOD}'
+  FROM documents WHERE doc_id % 3 = 0
+),
+newb AS (
+  SELECT CAST(doc_id AS BIGINT) + 1000000 AS id, text
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT) + 2000000, text || ' tail tok'
+  FROM documents WHERE doc_id % 7 = 2
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT) + 3000000, '{_INCR_FLOOD} x'
+  FROM documents WHERE doc_id % 17 = 2
+),
+hsig AS (SELECT id, chash, [{sig_terms}] AS sig FROM
+  (SELECT id, {_h64('text')} AS chash, list_distinct({bi}) AS sh FROM hist)),
+nsig AS (SELECT id, chash, [{sig_terms}] AS sig FROM
+  (SELECT id, {_h64('text')} AS chash, list_distinct({bi}) AS sh FROM newb)),
+hband AS ({bands('hsig')}),
+ex AS (
+  SELECT n.id, n.sig,
+    (EXISTS (SELECT 1 FROM hsig h WHERE h.chash = n.chash)
+     OR EXISTS (SELECT 1 FROM nsig n2
+                WHERE n2.chash = n.chash AND n2.id < n.id)) AS is_exact
+  FROM nsig n),
+sv AS (SELECT id, sig FROM ex WHERE NOT is_exact),
+sband AS ({bands('sv')}),
+cand AS (
+  SELECT a.id, {sim} AS sim
+  FROM sband a JOIN hband b ON a.band = b.band AND a.key = b.key
+  UNION ALL
+  SELECT a.id, {sim} AS sim
+  FROM sband a JOIN sband b
+    ON a.band = b.band AND a.key = b.key AND a.id > b.id
+),
+mx AS (SELECT id, MAX(sim) AS max_sim FROM cand GROUP BY id)
+SELECT e.id AS doc_id,
+  CASE WHEN e.is_exact THEN 'exact_dup'
+       WHEN m.max_sim >= {_INCR_T} THEN 'near_dup'
+       ELSE 'kept' END AS status,
+  CAST(ROUND(CASE WHEN e.is_exact THEN NULL ELSE m.max_sim END, 6) AS DOUBLE)
+    AS max_sim
+FROM ex e LEFT JOIN mx m ON m.id = e.id
+"""
+
+
+@register("dedup_incremental_capped", _incr_capped_oracle())
+def dedup_incremental_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup under hot-bucket pressure: the history corpus
+    carries a planted flood of identical boilerplate (one degenerate
+    band bucket per band), the delta carries an identical-text family
+    of its own, and both sides run with max_bucket_df set — the
+    null-key cap keeps exact-dup detection intact (hashes never leave)
+    while near-dup candidates survive through the K capped
+    representatives. Conservative-misses semantics, exactly oracled."""
+    from crawl4ai_spark.ops.dedup import incremental_dedup, minhash_index
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+    i = F.col("doc_id")
+    hist = docs.unionByName(docs.where(i % 3 == 0).select(
+        (i + 5000000).alias("doc_id"), F.lit(_INCR_FLOOD).alias("text")))
+    newb = (
+        docs.where(i % 5 == 0).select((i + 1000000).alias("doc_id"), "text")
+        .unionByName(docs.where(i % 7 == 2).select(
+            (i + 2000000).alias("doc_id"),
+            F.concat("text", F.lit(" tail tok")).alias("text")))
+        .unionByName(docs.where(i % 17 == 2).select(
+            (i + 3000000).alias("doc_id"),
+            F.lit(_INCR_FLOOD + " x").alias("text")))
+    )
+    idx = minhash_index(hist, num_hashes=_MINHASH_H, bands=_MINHASH_BANDS,
+                        shingle_n=2, max_bucket_df=_INCR_CAP)
+    return incremental_dedup(newb, idx, threshold=_INCR_T,
+                             num_hashes=_MINHASH_H, bands=_MINHASH_BANDS,
+                             shingle_n=2, max_bucket_df=_INCR_CAP)
+
+
 def _ann_oracle(n_bits: int = 4, dim: int = 64) -> str:
     def bucket_sql(v: str) -> str:
         terms = []
@@ -2068,6 +2180,7 @@ _TAIL = [
     "politeness_fairness", "sitemap_seeds", "scheme_fetch",
     "cache_read", "cache_upsert", "url_normalize_fast",
     "ann_ivf_topk", "events_tumbling", "events_dedup", "dedup_lsh_capped",
+    "dedup_incremental_capped",
     "head_relevance", "head_parse", "tpch_q1_pricing", "events_topk", "jsoncss_nested",
     "multimodal_resize_plan", "adaptive_coverage", "dedup_ngram_jaccard",
     "embedding_neardup", "chunks_sliding", "chunks_overlap", "chunks_regex",
