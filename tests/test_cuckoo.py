@@ -173,3 +173,45 @@ def test_m_bits_setter_rounds_to_power_of_two():
     assert c.m_buckets == 4096    # rounded UP, involution-safe
     c.m_bits = 1024 * SLOTS * 16
     assert c.m_buckets == 1024    # pow2 passes through unchanged
+
+
+def test_resume_across_filter_backend_switch(spark, tmp_path):
+    """Resuming a bloom-built warehouse with seen_filter='cuckoo' must
+    NOT trust the checkpoint's bloom_built flag against the (empty)
+    cuckoo table — that would mark every synced URL definitely-new and
+    mass re-crawl. The guard falls back to exact-only dedup, so the
+    final crawled multiset equals a straight-through run's."""
+    import dataclasses
+
+    from crawl4ai_spark.corpus.fakeshop import fakeshop_spark_df
+    from crawl4ai_spark.engine.fetch import CorpusFetcher
+    from crawl4ai_spark.engine.frontier import CrawlConfig, CrawlEngine
+    from crawl4ai_spark.engine.tables import Warehouse
+
+    corpus = fakeshop_spark_df(spark, n_sites=1, n_categories=3,
+                               n_subcats=2, n_products=2)
+    seed = ["http://shop0.fakeshop.test/index.html"]
+    bloom_cfg = CrawlConfig(max_depth=3, n_shards=4, bloom_sync_rounds=1,
+                            bloom_min_seen=5, use_bloom=True)
+
+    def pages_of(eng):
+        return sorted((r.url_norm, r.depth) for r in
+                      eng.t_pages.read(spark)
+                      .select("url_norm", "depth").collect())
+
+    straight = CrawlEngine(spark, Warehouse(str(tmp_path / "s")),
+                           CorpusFetcher(corpus), bloom_cfg)
+    straight.run(seed)
+    want = pages_of(straight)
+
+    part = CrawlEngine(spark, Warehouse(str(tmp_path / "x")),
+                       CorpusFetcher(corpus),
+                       dataclasses.replace(bloom_cfg, max_rounds=2))
+    part.run(seed)
+    assert part._bloom_built  # the checkpoint really says bloom_built
+
+    switched = CrawlEngine(
+        spark, Warehouse(str(tmp_path / "x")), CorpusFetcher(corpus),
+        dataclasses.replace(bloom_cfg, seen_filter="cuckoo"))
+    switched.run(seed)
+    assert pages_of(switched) == want  # no duplicates, nothing lost
