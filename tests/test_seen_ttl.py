@@ -24,12 +24,12 @@ from crawl4ai_spark.engine.tables import Warehouse
 SEED = "http://shop0.fakeshop.test/index.html"
 
 
-def _crawl(spark, tmp_path, subdir, **kw):
+def _crawl(spark, tmp_path, subdir, sync_rounds=1, **kw):
     corpus = fakeshop_spark_df(spark, n_sites=1, n_categories=3,
                                n_subcats=2, n_products=2)
     eng = CrawlEngine(
         spark, Warehouse(str(tmp_path / subdir)), CorpusFetcher(corpus),
-        CrawlConfig(max_depth=4, n_shards=4, bloom_sync_rounds=1,
+        CrawlConfig(max_depth=4, n_shards=4, bloom_sync_rounds=sync_rounds,
                     bloom_min_seen=5, **kw),
     )
     eng.run([SEED])
@@ -121,3 +121,22 @@ def test_ttl_resume_after_kill(spark, tmp_path):
                  for r in resumed.t_pages.read(spark)
                  .select("url_norm", "depth").collect())
     assert got == want
+
+
+def test_ttl_with_lagged_sync_stays_exact(spark, tmp_path):
+    """With bloom_sync_rounds > 1 the filter lags the seen table, so
+    TTL expiry sees dirs whose hashes were never inserted; deleting
+    those could strip a live key's colliding fingerprint (a false
+    negative). The delete is restricted to synced rounds — the crawled
+    multiset must equal the filter-free run's under the same ttl."""
+    def crawled(subdir, **kw):
+        eng = _crawl(spark, tmp_path, subdir, seen_ttl_rounds=1,
+                     sync_rounds=3, **kw)
+        return sorted(
+            (r.url_norm, r.depth)
+            for r in eng.t_pages.read(spark)
+            .select("url_norm", "depth").collect()
+        )
+
+    assert crawled("lagck", use_bloom=True, seen_filter="cuckoo") == \
+        crawled("lagoff", use_bloom=False)
