@@ -41,7 +41,11 @@ shuffle; the bloom itself is updated every `bloom_sync_rounds` rounds
 (an exact anti-join against the small recent-rounds seen DELTA covers
 the gap, so exact-set semantics hold at every round), sized from the
 live seen count, and rebuilt at a round boundary when outgrown;
-robots/host budgets broadcast; AQE handles residual skew.
+robots/host budgets broadcast; AQE handles residual skew. The
+pre-filter backend is pluggable (seen_filter="bloom"|"cuckoo",
+engine/cuckoo.py — deletion-capable for seen_ttl_rounds recrawl
+scheduling, whose expiry is a metadata-only dir drop on the
+round-partitioned seen table).
 """
 
 from __future__ import annotations
