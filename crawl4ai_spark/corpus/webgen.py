@@ -85,6 +85,31 @@ def build_corpus(docs: DataFrame, n_docs: int | None = None) -> DataFrame:
     )
 
 
+def url_of(i: int) -> str:
+    """Pure-Python twin of url_expr (same formula, driver/server side)."""
+    return f"https://site{i % N_HOSTS}.example.com/page/{i}"
+
+
+def page_html(i: int, text: str, source: str, n_docs: int) -> str:
+    """Pure-Python twin of build_corpus's html(i) — byte-identical by
+    construction (tests/test_http_fetch.py asserts equality against the
+    Spark-built corpus). Used by the loopback HTTP server
+    (sources/loopback.py) so live-fetch parity checks never read the
+    Spark corpus they are meant to verify."""
+    kids = [a * i + b for a, b in CHILD_FACTORS if a * i + b < n_docs]
+    links = "".join(
+        f'<li><a href="{url_of(c)}">go {c}</a></li>' for c in kids
+    )
+    return (
+        f'<html><head><title>Doc {i}</title>'
+        f'<meta name="description" content="{source}"/></head>'
+        f"<body><h1>Doc {i}</h1><p>{text}"
+        f'</p><img src="https://cdn.example.com/img/{i}.png" '
+        f'alt="image {i}" width="200"/><p>tail {i}</p><ul>'
+        f"{links}</ul></body></html>"
+    )
+
+
 def seed_url() -> str:
     return "https://site0.example.com/page/0"
 

@@ -63,41 +63,89 @@ _HTTP_SCHEMA_EXTRA = [
 
 
 class HttpFetcher:
-    """Real HTTP GET per frontier row, Arrow-batched (stdlib urllib).
+    """Real HTTP GET per frontier row, Arrow-batched (stdlib urllib),
+    with bounded intra-batch concurrency.
 
-    timeout per request; errors -> status 0. This is the scale path for
-    live crawling; in the sandbox it exists for API completeness and is
-    exercised only against file:// fixtures in tests.
+    The reference fetches with an aiohttp session whose parallelism is
+    capped by `max_session_permit` (default 20) in the dispatcher
+    (/root/reference/crawl4ai/async_dispatcher.py:402-458 arun_many →
+    SemaphoreDispatcher; async_crawler_strategy.py:2289-2362 the GET
+    itself). Here each Arrow batch fans its URLs over a thread pool of
+    `max_session_permit` workers — network I/O releases the GIL, so
+    threads give true overlap — and results are re-assembled IN ORDER
+    (executor.map), keeping the stage deterministic. Aggregate crawl
+    concurrency = executor-cores × max_session_permit with no global
+    coordination point; the politeness window has already capped
+    per-host rows, so the pool never hammers one origin.
+
+    Row-level error semantics: HTTP error responses keep their real
+    status code (and body); transport failures (DNS, refused, timeout)
+    -> status 0, empty html. A cluster job never dies on one bad URL.
+
+    `url_rewrite` (optional, picklable fn url->url) redirects the
+    physical request while the row keeps its canonical URL — the
+    recording-proxy / loopback-harness shape used by the http_fetch
+    oracle and tools/http_bench.py.
     """
 
-    def __init__(self, timeout_s: float = 10.0, user_agent: str = "crawl4ai-spark/0.1"):
+    def __init__(
+        self,
+        timeout_s: float = 10.0,
+        user_agent: str = "crawl4ai-spark/0.1",
+        max_session_permit: int = 20,
+        url_rewrite=None,
+    ):
         self.timeout_s = timeout_s
         self.user_agent = user_agent
+        self.max_session_permit = max(1, int(max_session_permit))
+        self.url_rewrite = url_rewrite
 
     def fetch(self, frontier: DataFrame) -> DataFrame:
         timeout, ua = self.timeout_s, self.user_agent
+        permits, rewrite = self.max_session_permit, self.url_rewrite
         schema = T.StructType(list(frontier.schema.fields) + _HTTP_SCHEMA_EXTRA)
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             import time
+            import urllib.error
             import urllib.request
+            from concurrent.futures import ThreadPoolExecutor
+
+            def one(u: str):
+                t0 = time.monotonic()
+                target = rewrite(u) if rewrite is not None else u
+                try:
+                    req = urllib.request.Request(
+                        target, headers={"User-Agent": ua}
+                    )
+                    with urllib.request.urlopen(req, timeout=timeout) as resp:
+                        body = resp.read(8 * 1024 * 1024)
+                        html, status = body.decode("utf-8", errors="replace"), int(resp.status)
+                except urllib.error.HTTPError as e:
+                    try:
+                        body = e.read(8 * 1024 * 1024)
+                    except Exception:
+                        body = b""
+                    html, status = body.decode("utf-8", errors="replace"), int(e.code)
+                except Exception:
+                    html, status = "", 0
+                return html, status, int((time.monotonic() - t0) * 1000)
 
             for pdf in batches:
-                htmls, statuses, ms = [], [], []
-                for u in pdf["url_norm"]:
-                    t0 = time.monotonic()
-                    try:
-                        req = urllib.request.Request(u, headers={"User-Agent": ua})
-                        with urllib.request.urlopen(req, timeout=timeout) as resp:
-                            body = resp.read(8 * 1024 * 1024)
-                            htmls.append(body.decode("utf-8", errors="replace"))
-                            statuses.append(int(resp.status))
-                    except Exception:
-                        htmls.append("")
-                        statuses.append(0)
-                    ms.append(int((time.monotonic() - t0) * 1000))
+                urls = list(pdf["url_norm"])
+                if not urls:
+                    continue
+                if permits == 1 or len(urls) == 1:
+                    results = [one(u) for u in urls]
+                else:
+                    with ThreadPoolExecutor(
+                        max_workers=min(permits, len(urls))
+                    ) as pool:
+                        results = list(pool.map(one, urls))
                 out = pdf.copy()
-                out["html"], out["status_code"], out["fetch_ms"] = htmls, statuses, ms
+                out["html"] = [r[0] for r in results]
+                out["status_code"] = [r[1] for r in results]
+                out["fetch_ms"] = [r[2] for r in results]
                 yield out
 
         fetched = frontier.mapInPandas(run, schema)

@@ -4532,6 +4532,69 @@ def sitemap_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- live HTTP fetch through a loopback server --------------------------------
+
+_PAGE_HTML_SQL = (
+    "('<html><head><title>Doc ' || CAST(i AS VARCHAR) || '</title>"
+    '<meta name="description" content="\' || source || \'"/></head>'
+    "<body><h1>Doc ' || CAST(i AS VARCHAR) || '</h1><p>' || text || "
+    "'</p><img src=\"https://cdn.example.com/img/' || CAST(i AS VARCHAR) || "
+    "'.png\" alt=\"image ' || CAST(i AS VARCHAR) || '\" width=\"200\"/>"
+    "<p>tail ' || CAST(i AS VARCHAR) || '</p><ul>' || "
+    # DuckDB's array_to_string([]) is NULL, not '' — coalesce or every
+    # leaf page's html goes NULL through the concat
+    "COALESCE(array_to_string(list_transform(ks, c -> ('<li><a href=\"' || "
+    + _url_sql("c")
+    + " || '\">go ' || CAST(c AS VARCHAR) || '</a></li>')), ''), '') || "
+    "'</ul></body></html>')"
+)
+
+_HTTP_FETCH_ORACLE = f"""
+WITH docs AS ({_DOCS_I}),
+cnt AS ({_CNT}),
+k AS (SELECT i, text, source, {_KIDS_SQL} AS ks FROM docs, cnt)
+SELECT {_url_sql('i')} AS url_norm, {_PAGE_HTML_SQL} AS html,
+       CAST(200 AS INT) AS status_code
+FROM k
+UNION ALL
+SELECT {_url_sql('i + n')} AS url_norm, '' AS html, CAST(404 AS INT) AS status_code
+FROM docs, cnt WHERE i % 10 = 0
+"""
+
+
+@register("http_fetch", _HTTP_FETCH_ORACLE)
+def http_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live HTTP fetch parity: the REAL HttpFetcher (thread-pooled
+    sockets, charset decode, HTTP error statuses — engine/fetch.py)
+    against an in-process loopback server that regenerates each page
+    from the documents table (sources/loopback.py), the same harness
+    shape the reference uses to bench arun_many
+    (tests/memory/run_benchmark.py). Every doc URL must come back 200
+    with byte-identical html (full-string oracle restating webgen's
+    formula in SQL); every 10th doc also probes a dead URL past the id
+    space, which must surface as a row-level 404, never a job error."""
+    from crawl4ai_spark.engine.fetch import HttpFetcher
+    from crawl4ai_spark.sources.loopback import corpus_server
+
+    srv = corpus_server(sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    cnt = docs.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    i = F.col("doc_id").cast("long")
+    live = docs.select(url_expr(i).alias("url_norm"))
+    dead = (
+        docs.crossJoin(F.broadcast(cnt))
+        .where(i % 10 == 0)
+        .select(url_expr(i + F.col("__n")).alias("url_norm"))
+    )
+    fetcher = HttpFetcher(
+        timeout_s=30.0, max_session_permit=20, url_rewrite=srv.rewrite()
+    )
+    out = fetcher.fetch(live.unionByName(dead))
+    return out.select(
+        "url_norm", "html", F.col("status_code").cast("int").alias("status_code")
+    )
+
+
 _SCHEME_ORACLE = f"""
 WITH d AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents)
 SELECT CASE i % 3
