@@ -626,11 +626,52 @@ def minhash_index(df: DataFrame, text_col: str = "text",
     return banded
 
 
+def write_minhash_index(index: DataFrame, name: str,
+                        n_buckets: int = 64) -> None:
+    """Materialize the persisted dedup index in the storage layout the
+    100 TB claim rests on (the layout :func:`minhash_index` prescribes),
+    as two bucketed managed tables:
+
+      ``{name}_bands``   all band rows, ``bucketBy(n, band, key)`` +
+                         sorted — the near-dup candidate probe side
+      ``{name}_hashes``  the band-0 content_hash projection,
+                         ``bucketBy(n, content_hash)`` + sorted — the
+                         exact-membership probe side
+
+    With these layouts both history-side joins in
+    :func:`incremental_dedup` are storage-partitioned: the scan's
+    HashPartitioning already satisfies the join's required
+    distribution, so Spark inserts NO Exchange above either history
+    scan and only the delta shuffles (asserted by
+    tests/test_dedup_bucketed.py; plan captured in PLANS.md). On a real
+    warehouse the same layout is an Iceberg table with a bucket
+    partition transform; `bucketBy` is the jar-free Spark-managed
+    equivalent. ``n_buckets`` is the history-side parallelism forever
+    after — size it for the TARGET corpus (e.g. 2^12-2^15 at 100 TB),
+    not the first snapshot, because re-bucketing later means rewriting
+    history once.
+    """
+    (index.write.mode("overwrite").format("parquet")
+     .bucketBy(n_buckets, "band", "key").sortBy("band", "key")
+     .saveAsTable(f"{name}_bands"))
+    (index.where(F.col("band") == 0).select("content_hash")
+     .write.mode("overwrite").format("parquet")
+     .bucketBy(n_buckets, "content_hash").sortBy("content_hash")
+     .saveAsTable(f"{name}_hashes"))
+
+
+def read_minhash_index(spark, name: str) -> tuple[DataFrame, DataFrame]:
+    """(bands, hashes) pair written by :func:`write_minhash_index` —
+    pass them to :func:`incremental_dedup` as (index, hash_index)."""
+    return spark.table(f"{name}_bands"), spark.table(f"{name}_hashes")
+
+
 def incremental_dedup(new_docs: DataFrame, index: DataFrame,
                       text_col: str = "text", id_col: str = "doc_id",
                       threshold: float = 0.5, num_hashes: int = 16,
                       bands: int = 4, shingle_n: int = 3,
-                      max_bucket_df: int | None = None) -> DataFrame:
+                      max_bucket_df: int | None = None,
+                      hash_index: DataFrame | None = None) -> DataFrame:
     """Cross-snapshot incremental dedup: classify a NEW batch of
     documents against the persisted :func:`minhash_index` of everything
     crawled before, without ever reshuffling history.
@@ -696,9 +737,14 @@ def incremental_dedup(new_docs: DataFrame, index: DataFrame,
         extra_cols=(hash64(F.col(text_col)).alias("content_hash"),),
     )
     # exact stage: history membership (band-0 slice: one row per doc)
-    # + within-batch first-wins on the content hash
-    hist_hashes = (index.where(F.col("band") == 0)
-                   .select("content_hash")
+    # + within-batch first-wins on the content hash. When the caller
+    # has the index materialized by write_minhash_index, hash_index is
+    # its content_hash-bucketed projection — joining THAT instead of
+    # re-slicing the band table is what keeps the exact probe
+    # exchange-free on the history side.
+    hist = (hash_index if hash_index is not None
+            else index.where(F.col("band") == 0))
+    hist_hashes = (hist.select("content_hash")
                    .withColumn("__hist", F.lit(True)))
     wh = Window.partitionBy("content_hash").orderBy("id")
     # delta-sized and referenced three times downstream (final statuses,
