@@ -19,7 +19,7 @@ not matter (bloom seen-set) the engine uses native xxhash64.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Marker stopwords per language for the n-gram/stopword language-ID
@@ -274,6 +274,120 @@ def merge_chunks_tokens(df: DataFrame, text_col: str, target_size: int,
             F.concat_ws(" ", F.transform("a", lambda s: s["__tok"])).alias(out_col),
         )
     )
+
+
+def chunk_topics(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", w: int = 10, k: int = 2,
+                 num_keywords: int = 3,
+                 out_col: str = "chunk") -> DataFrame:
+    """TopicSegmentationChunking (chunking_strategy.py:93-140) without
+    nltk: a TextTiling-style block scorer (Hearst 1997, the algorithm
+    behind nltk's TextTilingTokenizer) re-derived relationally.
+
+      1. lowercase whitespace tokens; pseudo-sentence blocks of ``w``
+      2. gap g (between blocks g-1 and g, g=1..B-1): similarity =
+         Jaccard of the DISTINCT token sets of the k blocks left of g
+         vs the k blocks right of g (windows clamped at doc edges)
+      3. depth(g) = max(0, sim(g-1)-sim(g)) + max(0, sim(g+1)-sim(g))
+         — the valley depth (a one-step form of Hearst's plateau climb
+         that keeps the score a pure window expression)
+      4. boundaries at INTERIOR LOCAL MINIMA (both neighbours exist and
+         sim(g) <= both — without this the shoulders flanking a deep
+         valley also score "deep" and over-segment) whose depth exceeds
+         Hearst's LC cutoff mean(depth) - stddev_pop(depth)/2, and > 0
+      5. chunks = maximal runs of blocks between boundaries, text
+         re-joined in token order; ``keywords`` = the num_keywords most
+         frequent tokens per chunk, ties broken alphabetically — the
+         reference's Counter.most_common(num_keywords) with a
+         DETERMINISTIC tie-break (its own extract_keywords is broken
+         upstream: `nl.toknize` typo, chunking_strategy.py:121, so
+         stopword filtering is unreachable there)
+
+    Scale shape: every stage is keyed by doc or (doc, gap) — token
+    explode, distinct, two bounded gap-explodes (each block row fans to
+    at most k gaps per side), doc-partitioned windows, and doc-keyed
+    rollups. Nothing joins tokens across documents; a 10^9-doc corpus
+    segments embarrassingly parallel after the one doc-keyed exchange.
+    """
+    id_ = F.col(id_col)
+    base = df.select(
+        id_, F.posexplode(tokens(F.lower(_c(text_col)))).alias("p", "tok")
+    ).where(F.col("tok") != "")
+    blocks = base.withColumn("b", (F.col("p") / w).cast("long"))
+    wdoc = Window.partitionBy(id_col)
+    # NB: named "bn", not "B" — Spark's resolver is case-insensitive by
+    # default, so a "B" column would silently shadow "b"
+    blocks = blocks.withColumn("bn", F.max("b").over(wdoc) + 1)
+    bt = blocks.select(id_col, "b", "bn", "tok").distinct()
+
+    def seq(lo, hi):
+        # Spark's sequence(a, b) DESCENDS when a > b — guard to empty
+        return F.when(hi >= lo, F.sequence(lo, hi)) \
+                .otherwise(F.array().cast("array<bigint>"))
+
+    left = bt.select(
+        id_, F.col("tok"),
+        F.explode(seq(F.col("b") + 1,
+                      F.least(F.col("b") + k, F.col("bn") - 1))).alias("g"),
+        F.lit(1).alias("l"), F.lit(0).alias("r"),
+    )
+    right = bt.select(
+        id_, F.col("tok"),
+        F.explode(seq(F.greatest(F.col("b") - k + 1, F.lit(1)),
+                      F.col("b"))).alias("g"),
+        F.lit(0).alias("l"), F.lit(1).alias("r"),
+    )
+    per_tok = (left.unionByName(right)
+               .groupBy(id_col, "g", "tok")
+               .agg(F.max("l").alias("l"), F.max("r").alias("r")))
+    sims = (per_tok.groupBy(id_col, "g")
+            .agg((F.sum(F.col("l") * F.col("r")) /
+                  F.count(F.lit(1))).alias("sim")))
+    wg = Window.partitionBy(id_col).orderBy("g")
+    depth = (
+        F.greatest(F.lit(0.0),
+                   F.coalesce(F.lag("sim").over(wg) - F.col("sim"), F.lit(0.0)))
+        + F.greatest(F.lit(0.0),
+                     F.coalesce(F.lead("sim").over(wg) - F.col("sim"), F.lit(0.0)))
+    )
+    d = (sims.withColumn("sim_l", F.lag("sim").over(wg))
+         .withColumn("sim_r", F.lead("sim").over(wg))
+         .withColumn("depth", depth)
+         .withColumn(
+             "cut",
+             F.avg("depth").over(wdoc) - F.stddev_pop("depth").over(wdoc) / 2,
+         ))
+    bounds = d.where(
+        F.col("sim_l").isNotNull() & F.col("sim_r").isNotNull()
+        & (F.col("sim") <= F.col("sim_l")) & (F.col("sim") <= F.col("sim_r"))
+        & (F.round(F.col("depth"), 9) > F.round(F.col("cut"), 9))
+        & (F.col("depth") > 0)
+    ).select(id_, F.col("g").alias("bg"))
+
+    blk = (blocks.select(id_col, "b").distinct()
+           .join(bounds, id_col, "left")
+           .groupBy(id_col, "b")
+           .agg(F.sum(F.when(F.col("bg") <= F.col("b"), 1).otherwise(0))
+                .cast("int").alias("chunk_id")))
+    assigned = blocks.select(id_col, "b", "p", "tok").join(blk, [id_col, "b"])
+    chunk_txt = assigned.groupBy(id_col, "chunk_id").agg(
+        F.concat_ws(" ", F.transform(
+            F.array_sort(F.collect_list(F.struct("p", "tok"))),
+            lambda s: s["tok"])).alias(out_col),
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.countDistinct("b").cast("long").alias("n_blocks"),
+    )
+    wk = Window.partitionBy(id_col, "chunk_id").orderBy(
+        F.col("cnt").desc(), F.col("tok").asc())
+    kws = (assigned.groupBy(id_col, "chunk_id", "tok")
+           .agg(F.count(F.lit(1)).alias("cnt"))
+           .withColumn("rn", F.row_number().over(wk))
+           .where(F.col("rn") <= num_keywords)
+           .groupBy(id_col, "chunk_id")
+           .agg(F.concat_ws(",", F.transform(
+               F.array_sort(F.collect_list(F.struct("rn", "tok"))),
+               lambda s: s["tok"])).alias("keywords")))
+    return chunk_txt.join(kws, [id_col, "chunk_id"])
 
 
 # -- RegexExtractionStrategy built-in catalog --------------------------------

@@ -3450,6 +3450,118 @@ def chunks_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.merge_chunks_tokens(docs, "text", _MERGE_TARGET)
 
 
+# -- TopicSegmentationChunking (TextTiling) -----------------------------------
+
+_TOPIC_W, _TOPIC_K = 10, 2
+
+_CHUNK_TOPICS_ORACLE = f"""
+WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents
+              WHERE CAST(doc_id AS BIGINT) < 60),
+raw AS (
+  SELECT i, CASE WHEN i % 2 = 0 THEN
+      array_to_string(list_transform(range(60),
+        j -> 'a' || CAST((i*3+j) % 17 AS VARCHAR)), ' ')
+      || ' ' ||
+      array_to_string(list_transform(range(60),
+        j -> 'b' || CAST((i*5+j) % 17 AS VARCHAR)), ' ')
+    ELSE
+      array_to_string(list_transform(range(120),
+        j -> 'a' || CAST((i*3+j) % 17 AS VARCHAR)), ' ')
+    END AS text
+  FROM docs),
+tk AS (SELECT i, string_split(lower(text), ' ') AS toks FROM raw),
+toks AS (
+  SELECT i, CAST(t.j - 1 AS BIGINT) AS p, toks[t.j] AS tok
+  FROM tk, UNNEST(range(1, len(toks) + 1)) AS t(j)
+  WHERE toks[t.j] <> ''),
+blocks AS (SELECT i, p, tok,
+                  CAST(FLOOR(p / {_TOPIC_W}) AS BIGINT) AS b FROM toks),
+bm AS (SELECT *, MAX(b) OVER (PARTITION BY i) + 1 AS bn FROM blocks),
+bt AS (SELECT DISTINCT i, b, bn, tok FROM bm),
+contrib AS (
+  SELECT i, tok,
+         UNNEST(range(b + 1, LEAST(b + {_TOPIC_K}, bn - 1) + 1)) AS g,
+         1 AS l, 0 AS r
+  FROM bt
+  UNION ALL
+  SELECT i, tok,
+         UNNEST(range(GREATEST(b - {_TOPIC_K} + 1, 1), b + 1)) AS g,
+         0 AS l, 1 AS r
+  FROM bt),
+per_tok AS (SELECT i, g, tok, MAX(l) AS l, MAX(r) AS r
+            FROM contrib GROUP BY i, g, tok),
+sims AS (SELECT i, g, SUM(l * r) * 1.0 / COUNT(*) AS sim
+         FROM per_tok GROUP BY i, g),
+d AS (SELECT i, g, sim,
+        LAG(sim) OVER w AS sim_l, LEAD(sim) OVER w AS sim_r,
+        GREATEST(0.0, COALESCE(LAG(sim) OVER w - sim, 0.0))
+      + GREATEST(0.0, COALESCE(LEAD(sim) OVER w - sim, 0.0)) AS depth
+      FROM sims WINDOW w AS (PARTITION BY i ORDER BY g)),
+dc AS (SELECT i, g, sim, sim_l, sim_r, depth,
+       AVG(depth) OVER (PARTITION BY i)
+         - STDDEV_POP(depth) OVER (PARTITION BY i) / 2 AS cut
+       FROM d),
+bounds AS (SELECT i, g AS bg FROM dc
+           WHERE sim_l IS NOT NULL AND sim_r IS NOT NULL
+             AND sim <= sim_l AND sim <= sim_r
+             AND ROUND(depth, 9) > ROUND(cut, 9) AND depth > 0),
+blkids AS (
+  SELECT m.i, m.b,
+         CAST(COALESCE(SUM(CASE WHEN bo.bg <= m.b THEN 1 ELSE 0 END), 0)
+              AS INT) AS chunk_id
+  FROM (SELECT DISTINCT i, b FROM blocks) m
+  LEFT JOIN bounds bo ON bo.i = m.i
+  GROUP BY m.i, m.b),
+assigned AS (SELECT bl.i, bl.b, bl.p, bl.tok, bk.chunk_id
+             FROM blocks bl JOIN blkids bk ON bl.i = bk.i AND bl.b = bk.b),
+txt AS (SELECT i AS doc_id, chunk_id,
+               string_agg(tok, ' ' ORDER BY p) AS chunk,
+               COUNT(*) AS n_tokens, COUNT(DISTINCT b) AS n_blocks
+        FROM assigned GROUP BY i, chunk_id),
+kc AS (SELECT i, chunk_id, tok, COUNT(*) AS cnt
+       FROM assigned GROUP BY i, chunk_id, tok),
+kr AS (SELECT i, chunk_id, tok, ROW_NUMBER() OVER (
+         PARTITION BY i, chunk_id ORDER BY cnt DESC, tok ASC) AS rn FROM kc),
+kw AS (SELECT i AS doc_id, chunk_id,
+              string_agg(tok, ',' ORDER BY rn) AS keywords
+       FROM kr WHERE rn <= 3 GROUP BY i, chunk_id)
+SELECT t.doc_id, t.chunk_id, t.chunk, t.n_tokens, t.n_blocks, k.keywords
+FROM txt t JOIN kw k ON t.doc_id = k.doc_id AND t.chunk_id = k.chunk_id
+"""
+
+
+@register("chunks_topics", _CHUNK_TOPICS_ORACLE)
+def chunks_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TopicSegmentationChunking (chunking_strategy.py:93-140), the
+    nltk-free TextTiling twin (ops/text.chunk_topics), on planted
+    topic-shift fixtures: even docs are two 60-token segments with
+    DISJOINT vocabularies ('a*' then 'b*' token families — a sharp
+    lexical valley at token 60), odd docs are one uniform 120-token
+    topic (no boundary may fire). The oracle restates the full
+    block-Jaccard / valley-depth / LC-cutoff pipeline in SQL, down to
+    the per-chunk frequency keywords with alphabetical tie-break."""
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+
+    def seg(prefix: str, mult: int, cnt: int):
+        return F.concat_ws(" ", F.transform(
+            F.sequence(F.lit(0), F.lit(cnt - 1)),
+            lambda j: F.concat(F.lit(prefix),
+                               ((i * mult + j) % 17).cast("string")),
+        ))
+
+    fixture = docs.where(i < 60).select(
+        i.alias("doc_id"),
+        F.when(i % 2 == 0,
+               F.concat(seg("a", 3, 60), F.lit(" "), seg("b", 5, 60)))
+        .otherwise(seg("a", 3, 120)).alias("text"),
+    )
+    out = text_ops.chunk_topics(fixture, "text", "doc_id",
+                                w=_TOPIC_W, k=_TOPIC_K, num_keywords=3)
+    return out.select("doc_id", "chunk_id", "chunk",
+                      "n_tokens", "n_blocks", "keywords")
+
+
 # -- RegexExtractionStrategy built-in catalog --------------------------------
 
 _CATALOG_LABELS = [
