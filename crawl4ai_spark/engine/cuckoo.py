@@ -191,6 +191,40 @@ def insert_keys(table: np.ndarray, stash: list[int], hashes: np.ndarray,
     return overflow
 
 
+STASH_COMPACT_LEN = 8
+
+
+def compact_stash(table: np.ndarray, stash: list[int], m: int) -> list[int]:
+    """Re-home stash sentinels into table slots freed by deletes.
+
+    A sentinel (fp, b) covers a key whose candidate buckets are
+    {b, alt(b, fp)}; writing fp into EITHER bucket satisfies every
+    probe the sentinel satisfied (probes check fp against both
+    buckets), so the sentinel can be dropped. Without this, a
+    long-lived TTL-churning filter only ever GROWS its stash — probe
+    cost degrades monotonically until a capacity rebuild happens to
+    run (ADVICE r4). Called whenever a shard is rewritten (insert or
+    delete pass) and the stash exceeds STASH_COMPACT_LEN. Returns the
+    surviving sentinels."""
+    kept: list[int] = []
+    for e in stash:
+        ue = np.uint64(np.int64(e))
+        fp = np.uint16((ue >> np.uint64(32)) & np.uint64(0xFFFF))
+        b1 = int(ue & np.uint64(0xFFFFFFFF))
+        b2 = int(_alt(np.array([b1]), np.array([fp], np.uint16), m)[0])
+        placed = False
+        for b in (b1, b2):
+            row = table[b]
+            empty = np.flatnonzero(row == 0)
+            if len(empty):
+                row[empty[0]] = fp
+                placed = True
+                break
+        if not placed:
+            kept.append(int(e))
+    return kept
+
+
 def _stash_contains(stash: np.ndarray, hashes: np.ndarray, m: int) -> np.ndarray:
     """Probe the overflow stash of fingerprint sentinels
     ((fp << 32) | bucket): a candidate matches if its fp equals the
@@ -323,6 +357,18 @@ class CuckooSeenSet:
             self.shard_col(F.col("url_hash")).alias("shard_id"),
             F.col("url_hash"),
         )
+        # size any MISSING shard from the stored sibling shards, not the
+        # driver-side mirror: an m_bits restore may have rounded up past
+        # what the shards were built with, and non-uniform m breaks the
+        # capacity() math and the involution (ADVICE r4)
+        mm = prev.agg(F.min("m_buckets").alias("lo"),
+                      F.max("m_buckets").alias("hi")).first()
+        if mm["lo"] is not None:
+            if int(mm["lo"]) != int(mm["hi"]):
+                raise ValueError(
+                    f"non-uniform cuckoo shard m_buckets: {mm['lo']} != {mm['hi']}"
+                )
+            self.m_buckets = int(mm["hi"])
         cur_m = self.m_buckets
 
         def merge_shard(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
@@ -337,6 +383,8 @@ class CuckooSeenSet:
                 sid = int(right["shard_id"].iloc[0])
                 table, stash, _, n_prev = CuckooSeenSet._load(right)
             insert_keys(table, stash, h, table.shape[0])
+            if len(stash) > STASH_COMPACT_LEN:
+                stash = compact_stash(table, stash, table.shape[0])
             return CuckooSeenSet._shard_frame(sid, table, stash, n_prev + len(h))
 
         updated = (
@@ -366,6 +414,10 @@ class CuckooSeenSet:
                 h = left["url_hash"].to_numpy(dtype=np.int64)
                 # sentinels stay: they may shield other keys' membership
                 removed = delete_keys(table, h, m)
+            if len(stash) > STASH_COMPACT_LEN:
+                # deletes just freed slots — prime time to re-home
+                # sentinels and shrink the per-probe stash scan
+                stash = compact_stash(table, stash, m)
             return CuckooSeenSet._shard_frame(sid, table, stash,
                                               max(0, n_prev - removed))
 

@@ -192,7 +192,10 @@ def _round_of_dir(rel_dir: str) -> Optional[int]:
     tagged state write (…/state/r000123/tag=n); None for non-round dirs
     (the empty init snapshot's d-… dir)."""
     for part in rel_dir.replace("\\", "/").split("/"):
-        if len(part) == 7 and part[0] == "r" and part[1:].isdigit():
+        # r{rnd:06d} is a zero-padded MINIMUM: round >= 10^6 widens the
+        # dir name, so parse 'r' + digits of any length >= 6 (an exact
+        # ==7 check would silently stop TTL-expiring those dirs)
+        if len(part) >= 7 and part[0] == "r" and part[1:].isdigit():
             return int(part[1:])
     return None
 

@@ -50,8 +50,21 @@ def coverage_score(df: DataFrame, query_terms: list[str],
 
 
 def consistency_score(df: DataFrame, text_col: str = "text",
-                      id_col: str = "doc_id") -> DataFrame:
-    """Mean pairwise 1-gram Jaccard across all doc pairs (single row)."""
+                      id_col: str = "doc_id",
+                      sample_k: int | None = 1024) -> DataFrame:
+    """Mean pairwise 1-gram Jaccard across doc pairs (single row).
+
+    Guard (VERDICT r4): the pair join underneath is O(n^2) in docs
+    sharing any token — on real text effectively ALL pairs — so by
+    default the score is computed over the min-``sample_k`` docs by id,
+    the same deterministic min-K rule the engine's incremental state
+    maintains (adaptive_state.py keeps K=40); the reference likewise
+    scores a bounded knowledge base, never an unbounded corpus
+    (adaptive_crawler.py _calculate_consistency). Pass sample_k=None
+    for the exact all-pairs form (small corpora, oracle baselines).
+    """
+    if sample_k is not None:
+        df = df.orderBy(id_col).limit(sample_k)
     n = df.count()
     if n < 2:
         # no pairs to compare: the reference scores a 0/1-doc corpus as

@@ -725,11 +725,13 @@ def incremental_dedup(new_docs: DataFrame, index: DataFrame,
     build/compaction time, not here.
 
     Cache lifetime: the exact-stage frame is persist()ed (it feeds
-    three downstream branches) and the handle is internal — the blocks
-    live until the result frame is garbage-collected (Spark's
-    ContextCleaner unpersists on GC) or the session ends. One
-    delta-sized cache per invocation; a driver looping over many
-    snapshots should drop its result references between batches.
+    three downstream branches) and its handle is exposed as
+    ``result.cached_intermediate`` — a driver looping over many
+    snapshot batches should call
+    ``result.cached_intermediate.unpersist()`` once the result is
+    materialized; otherwise the blocks live until the result frame is
+    garbage-collected (Spark's ContextCleaner unpersists on GC) or the
+    session ends.
     """
     sig_new = _relational_signatures(
         spread_input(new_docs, id_col), text_col, id_col,
@@ -788,7 +790,7 @@ def incremental_dedup(new_docs: DataFrame, index: DataFrame,
     # sim, so MAX absorbs them — no dropDuplicates shuffle needed
     max_sim = (vs_hist.unionByName(vs_batch)
                .groupBy("id").agg(F.max("sim").alias("max_sim")))
-    return (
+    out = (
         exact.join(max_sim, "id", "left")
         .select(
             F.col("id").alias("doc_id"),
@@ -800,3 +802,9 @@ def incremental_dedup(new_docs: DataFrame, index: DataFrame,
             ).alias("max_sim"),
         )
     )
+    # expose the persisted exact-stage handle so a driver looping many
+    # snapshot batches can release the cache deterministically
+    # (out.cached_intermediate.unpersist() after materializing) instead
+    # of waiting for the ContextCleaner to GC the reference (ADVICE r4)
+    out.cached_intermediate = exact
+    return out

@@ -42,13 +42,153 @@ MEDIA_BLOB_SCHEMA = T.StructType([
 FEATURE_DIM = 16
 
 
+def _ppm_header(blob: bytes):
+    """Parse a PPM header (magic, width, height, maxval) tolerating
+    comments; returns (magic, w, h, maxval, raster_offset)."""
+    i, n = 2, len(blob)
+    vals = []
+    while len(vals) < 3 and i < n:
+        c = blob[i:i + 1]
+        if c.isspace():
+            i += 1
+        elif c == b"#":
+            while i < n and blob[i:i + 1] != b"\n":
+                i += 1
+        else:
+            j = i
+            while j < n and not blob[j:j + 1].isspace():
+                j += 1
+            vals.append(int(blob[i:j]))
+            i = j
+    i += 1  # exactly one whitespace separates maxval from the raster
+    w, h, maxval = vals
+    return blob[:2], w, h, maxval, i
+
+
+def _decode_ppm(blob: bytes) -> np.ndarray:
+    magic, w, h, maxval, off = _ppm_header(blob)
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    if magic == b"P6":
+        px = np.frombuffer(blob, dtype=np.uint8, count=w * h * 3, offset=off)
+    else:  # P3: ascii sample values
+        px = np.array(blob[off:].split()[: w * h * 3], dtype=np.uint8)
+    return px.reshape(h, w, 3)
+
+
+def _decode_bmp(blob: bytes) -> np.ndarray:
+    import struct
+
+    off_bits = struct.unpack_from("<I", blob, 10)[0]
+    w, h_raw = struct.unpack_from("<ii", blob, 18)
+    bpp = struct.unpack_from("<H", blob, 28)[0]
+    comp = struct.unpack_from("<I", blob, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+    h = abs(h_raw)
+    row = (w * 3 + 3) // 4 * 4  # rows pad to 4-byte boundaries
+    raw = np.frombuffer(blob, dtype=np.uint8, count=row * h, offset=off_bits)
+    px = raw.reshape(h, row)[:, : w * 3].reshape(h, w, 3)
+    if h_raw > 0:  # positive height = bottom-up row order
+        px = px[::-1]
+    return px[..., ::-1]  # BGR -> RGB
+
+
+def decode_image(blob: bytes) -> np.ndarray:
+    """(h, w, 3) uint8 RGB from an UNCOMPRESSED container — PPM P6/P3
+    or 24-bit BI_RGB BMP (bottom-up or top-down) — the only image
+    formats honestly decodable with stdlib+numpy alone. Compressed
+    formats (PNG/JPEG/...) still raise through decode_real."""
+    if blob[:2] in (b"P6", b"P3"):
+        return _decode_ppm(blob)
+    if blob[:2] == b"BM":
+        return _decode_bmp(blob)
+    raise ValueError(f"unsupported image magic {blob[:2]!r}")
+
+
 def decode_real(blob: bytes, kind: str):
-    """Real decode (PIL/ffmpeg) — unavailable in this container."""
+    """Real decode. Uncompressed images (PPM/BMP) decode in pure
+    stdlib+numpy (round 5 — VERDICT r4 #8); everything needing a codec
+    library (PNG/JPEG images, all audio/video) raises, by design, in
+    this container."""
+    if kind == "image" and blob is not None and \
+            blob[:2] in (b"P6", b"P3", b"BM"):
+        return decode_image(blob)
     raise NotImplementedError(
-        "image/audio decode libraries are not installed in this "
-        "environment; use fake_features (deterministic) or plug a real "
+        "compressed-image/audio/video decode libraries are not installed "
+        "in this environment; PPM/BMP decode via decode_image, "
+        "fake_features is the deterministic stand-in, or plug a real "
         "decoder into extract_features(decoder=...)"
     )
+
+
+def image_features(blob: bytes, kind: str) -> list[float]:
+    """FEATURE_DIM floats from DECODED PIXELS (not raw bytes):
+    [w, h, n_px, mean_r, mean_g, mean_b, min_r, max_r, min_g, max_g,
+     min_b, max_b, luma, first_r, last_b, sum%9973].
+    first_r/last_b are row-order- and channel-order-sensitive on
+    purpose: a decoder that forgets BMP's bottom-up rows or BGR order
+    fails the oracle even though means/sums would still match. Means
+    and luma rounded to 6dp (exact int/int division both engines)."""
+    px = decode_real(blob, kind).astype(np.int64)
+    h, w, _ = px.shape
+    n = h * w
+    sums = px.reshape(-1, 3).sum(axis=0)
+    means = [round(float(s) / n, 6) for s in sums]
+    mins = px.reshape(-1, 3).min(axis=0)
+    maxs = px.reshape(-1, 3).max(axis=0)
+    luma = round(0.299 * (float(sums[0]) / n) + 0.587 * (float(sums[1]) / n)
+                 + 0.114 * (float(sums[2]) / n), 6)
+    return [
+        float(w), float(h), float(n),
+        means[0], means[1], means[2],
+        float(mins[0]), float(maxs[0]),
+        float(mins[1]), float(maxs[1]),
+        float(mins[2]), float(maxs[2]),
+        luma,
+        float(px[0, 0, 0]), float(px[h - 1, w - 1, 2]),
+        float(int(px.sum()) % 9973),
+    ]
+
+
+# -- planted-image encoders (test/bench fixtures) -----------------------------
+
+def planted_pixels(i: int, w: int, h: int) -> np.ndarray:
+    """Deterministic (h, w, 3) RGB pixels, a pure function of (i, x, y)
+    so the oracle can recompute every feature in closed form:
+    R=(i+7x+13y)%256, G=(3i+5x+11y)%256, B=(9i+2x+y)%256."""
+    x = np.arange(w)[None, :, None]
+    y = np.arange(h)[:, None, None]
+    r = (i + 7 * x + 13 * y) % 256
+    g = (3 * i + 5 * x + 11 * y) % 256
+    b = (9 * i + 2 * x + y) % 256
+    return np.concatenate([r, g, b], axis=2).astype(np.uint8)
+
+
+def encode_ppm(px: np.ndarray, ascii_p3: bool = False) -> bytes:
+    h, w, _ = px.shape
+    if ascii_p3:
+        body = " ".join(str(int(v)) for v in px.reshape(-1))
+        return f"P3\n{w} {h}\n255\n{body}".encode()
+    return f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
+
+
+def encode_bmp(px: np.ndarray) -> bytes:
+    """Minimal 24-bit BI_RGB BMP, bottom-up rows, BGR channel order."""
+    import struct
+
+    h, w, _ = px.shape
+    row = (w * 3 + 3) // 4 * 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        line = px[y, :, ::-1].tobytes()  # BGR
+        body += line + b"\x00" * (row - len(line))
+    off = 14 + 40
+    size = off + len(body)
+    hdr = struct.pack("<2sIHHI", b"BM", size, 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                       2835, 2835, 0, 0)
+    return hdr + info + bytes(body)
 
 
 def fake_features(blob: bytes, kind: str) -> list[float]:

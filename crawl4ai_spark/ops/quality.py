@@ -219,8 +219,16 @@ def gopher_quality_rules(df: DataFrame, text_col: str = "text",
     alpha_frac = F.round(
         F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))).cast("double")
         / n_words.cast("double"), 6)
+    # Rae et al. count stop-word OCCURRENCE, not exact token match: a
+    # doc whose stop words all carry sentence punctuation ("The", "of,",
+    # "to.") must still pass the >=2-hits gate, so tokens are
+    # lower-cased and stripped of trailing punctuation before the test
+    # (ADVICE r4: the exact-match form was stricter than the paper)
+    norm_words = F.transform(
+        words, lambda w: F.regexp_replace(F.lower(w), "[^a-z0-9]+$", ""))
     stop_hits = sum(
-        (F.array_contains(words, sw).cast("int") for sw in GOPHER_STOP_WORDS),
+        (F.array_contains(norm_words, sw).cast("int")
+         for sw in GOPHER_STOP_WORDS),
         F.lit(0),
     ).cast("long")
 

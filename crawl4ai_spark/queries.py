@@ -2087,6 +2087,106 @@ def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_plan(blobs).select("doc_id", "target_w", "target_h")
 
 
+_MM_DECODE_ORACLE = """
+WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents),
+dims AS (SELECT i, 3 + CAST(i % 5 AS INT) AS w, 2 + CAST(i % 4 AS INT) AS h
+         FROM docs),
+px AS (
+  SELECT i, w, h, xs.x AS x, ys.y AS y,
+         (i + 7*xs.x + 13*ys.y) % 256 AS r,
+         (3*i + 5*xs.x + 11*ys.y) % 256 AS g,
+         (9*i + 2*xs.x + ys.y) % 256 AS b
+  FROM dims, UNNEST(range(w)) AS xs(x), UNNEST(range(h)) AS ys(y)
+),
+agg AS (
+  SELECT i, w, h, COUNT(*) AS n,
+         SUM(r) AS sr, SUM(g) AS sg, SUM(b) AS sb,
+         MIN(r) AS minr, MAX(r) AS maxr, MIN(g) AS ming, MAX(g) AS maxg,
+         MIN(b) AS minb, MAX(b) AS maxb,
+         SUM(r + g + b) AS stot,
+         MAX(CASE WHEN x = 0 AND y = 0 THEN r END) AS first_r,
+         MAX(CASE WHEN x = w - 1 AND y = h - 1 THEN b END) AS last_b
+  FROM px GROUP BY i, w, h
+)
+SELECT CAST(i AS VARCHAR) AS doc_id,
+       CAST(w AS DOUBLE) AS w, CAST(h AS DOUBLE) AS h,
+       CAST(n AS DOUBLE) AS n_px,
+       CAST(ROUND(sr * 1.0 / n, 6) AS DOUBLE) AS mean_r,
+       CAST(ROUND(sg * 1.0 / n, 6) AS DOUBLE) AS mean_g,
+       CAST(ROUND(sb * 1.0 / n, 6) AS DOUBLE) AS mean_b,
+       CAST(minr AS DOUBLE) AS min_r, CAST(maxr AS DOUBLE) AS max_r,
+       CAST(ming AS DOUBLE) AS min_g, CAST(maxg AS DOUBLE) AS max_g,
+       CAST(minb AS DOUBLE) AS min_b, CAST(maxb AS DOUBLE) AS max_b,
+       CAST(ROUND(0.299 * (sr * 1.0 / n) + 0.587 * (sg * 1.0 / n)
+                  + 0.114 * (sb * 1.0 / n), 6) AS DOUBLE) AS luma,
+       CAST(first_r AS DOUBLE) AS first_r,
+       CAST(last_b AS DOUBLE) AS last_b,
+       CAST(stot % 9973 AS DOUBLE) AS summod
+FROM agg
+"""
+
+
+@register("multimodal_decode", _MM_DECODE_ORACLE)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode (round 5 — the decode step is no longer a
+    stub for uncompressed formats): planted images whose pixels are a
+    closed-form function of (doc_id, x, y), encoded per doc as binary
+    PPM P6 (i%3=0), 24-bit bottom-up BMP (i%3=1), or ascii PPM P3
+    (i%3=2), decoded by ops/multimodal.decode_image inside the
+    mapInPandas feature pass, and reduced to 16 pixel-derived features.
+    The oracle recomputes every feature from the pixel formula alone —
+    it never sees the container bytes — so a decoder that mishandles
+    BMP's bottom-up rows, BGR order, or row padding fails on the
+    order-sensitive first_r/last_b features."""
+    from crawl4ai_spark.ops.multimodal import (
+        encode_bmp,
+        encode_ppm,
+        extract_features,
+        image_features,
+        planted_pixels,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("i"))
+    gen_schema = ("doc_id string, media_ref string, kind string, "
+                  "blob binary")
+
+    def gen(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for iv in pdf["i"]:
+                i = int(iv)
+                px = planted_pixels(i, 3 + i % 5, 2 + i % 4)
+                if i % 3 == 0:
+                    blob = encode_ppm(px)
+                elif i % 3 == 1:
+                    blob = encode_bmp(px)
+                else:
+                    blob = encode_ppm(px, ascii_p3=True)
+                rows.append((str(i), "m", "image", blob))
+            yield _pd.DataFrame(
+                rows, columns=["doc_id", "media_ref", "kind", "blob"])
+
+    blobs = docs.mapInPandas(gen, gen_schema)
+    feats = extract_features(blobs, decoder=image_features)
+
+    def f(k):
+        return F.element_at("features", k)
+
+    return feats.select(
+        "doc_id",
+        f(1).alias("w"), f(2).alias("h"), f(3).alias("n_px"),
+        f(4).alias("mean_r"), f(5).alias("mean_g"), f(6).alias("mean_b"),
+        f(7).alias("min_r"), f(8).alias("max_r"),
+        f(9).alias("min_g"), f(10).alias("max_g"),
+        f(11).alias("min_b"), f(12).alias("max_b"),
+        f(13).alias("luma"), f(14).alias("first_r"), f(15).alias("last_b"),
+        f(16).alias("summod"),
+    )
+
+
 # ===========================================================================
 # entry points used by __spark_entry__.py
 # ===========================================================================
@@ -3840,8 +3940,9 @@ def _gopher_rules_oracle() -> str:
         GOPHER_STOP_WORDS,
     )
 
+    # mirror of the operator's lowercase + trailing-punctuation strip
     stop_sum = " + ".join(
-        f"CAST(list_contains(w, '{s}') AS INT)" for s in GOPHER_STOP_WORDS
+        f"CAST(list_contains(wn, '{s}') AS INT)" for s in GOPHER_STOP_WORDS
     )
     return f"""
 WITH d AS (
@@ -3866,6 +3967,9 @@ built AS (
 parts AS (
   SELECT doc_id, txt,
          list_filter(regexp_split_to_array(txt, '\\s+'), x -> x <> '') AS w,
+         list_transform(
+           list_filter(regexp_split_to_array(txt, '\\s+'), x -> x <> ''),
+           x -> regexp_replace(lower(x), '[^a-z0-9]+$', '')) AS wn,
          string_split(txt, chr(10)) AS ls
   FROM built
 ),
