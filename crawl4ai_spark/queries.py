@@ -2204,82 +2204,78 @@ def flagship(spark: SparkSession) -> DataFrame:
 # url_canonicalize_ext ~ url_canonicalize, extra chunkers, all-pairs
 # baselines of bucketed ops) go to the tail, where tools/check_oracle.py
 # still verifies them locally every round.
+# Round-5 rotation (VERDICT r4 #3 + swap policy: a driver-green VARIANT
+# whose family keeps window representation goes to tail each round):
+#   IN : http_fetch (NEW family — live HTTP fetch parity, the last
+#        pytest-only §2.1 surface), chunks_topics (NEW strategy — flips
+#        the last §2.7 gap), multimodal_decode (real decode, NEW
+#        capability), dedup_spans + dedup_semantic + quality_gopher_rules
+#        + events_dedup (round-4 families previously tail-only).
+#   OUT (all driver-green in r4, families still represented):
+#        dedup_lines + dedup_incremental (dedup keeps 5 reps incl. the
+#        two rotated-in families), adaptive_embedding_confidence
+#        (adaptive_confidence stays), rank_links (link_scores stays),
+#        cosine_clusters (embedding_cosine_topk + ann_signlsh_topk stay),
+#        sanitize_text (text_stats stays), url_domain_authority
+#        (4 URL-family reps stay; its feeder link_pagerank stays).
 _WINDOW = [
     # crawl engine
     "crawl_bfs", "crawl_spans", "crawl_links", "crawl_politeness",
     "crawl_robots", "crawl_bestfirst", "crawl_dfs", "crawl_citations",
     "crawl_contextual", "rate_limiter_fold", "seed_pipeline", "config_routing",
-    # metrics/lineage table (round 4, VERDICT r3 #5 — the last
-    # pytest-only engine surface gets a closed-form oracle)
+    # metrics/lineage table (round 4, VERDICT r3 #5)
     "crawl_metrics",
+    # fetch stage: live-HTTP parity via the loopback harness (round 5)
+    "http_fetch",
     # sink wire format
     "kafka_wire_format",
-    # URL functions / filters / scorers (url_base_domain -> tail for
-    # round 3: driver-green in r2, same §2.8 family as url_canonicalize)
+    # URL functions / filters / scorers
     "url_canonicalize", "url_scores", "url_filters",
-    "url_seo", "url_domain_authority", "filter_stats", "link_scores",
-    "rank_links",
-    # data-selection family (round 4: dsir_select is a NEW family —
-    # importance-weighted selection — so it takes the window slot that
-    # tpch_q3_revenue, a generic relational demo, held; tpch_q1_pricing
-    # already represents scan/join/agg in the tail sweep)
+    "url_seo", "filter_stats", "link_scores",
+    # data-selection family (round 4)
     "dsir_select",
-    # streaming windows (tumbling variant in the tail; sessionize + the
-    # stateful rate_limiter_fold represent the family)
-    "events_sessionize",
-    # dedup family (dedup_lsh_capped / dedup_ngram_capped are the
-    # capped VARIANTS — tail, both driver-green in r2; dedup_simhash ->
-    # tail for round 3: driver-green in r2, siblings stay in window;
-    # dedup_lines is the round-4 C4-style line-level op — new GRANULARITY
-    # not a variant, so it takes a window slot; its round-4 siblings
-    # dedup_spans / dedup_semantic go to the tail; dedup_incremental is
-    # the round-4 cross-snapshot POSTURE — delta-vs-persisted-index, a
-    # new mode of operation, not a variant — and takes chunks_merge's
-    # slot (a token-bounded chunking variant, driver-green in r3, whose
-    # family keeps chunks_fixed)
-    "dedup_exact", "dedup_minhash_lsh", "dedup_pipeline", "dedup_lines",
-    "dedup_incremental",
-    # similarity / ANN (embedding_neardup_lsh -> tail: driver-green in
-    # r2, same sign-LSH bucketing as ann_signlsh_topk which stays)
+    # streaming windows (sessionize + the stateful rate_limiter_fold
+    # represent state; events_dedup is the exactly-once posture, in for
+    # round 5)
+    "events_sessionize", "events_dedup",
+    # dedup family: exact + banded-LSH + components keeper + the
+    # round-4 families exact-substring spans and SemDeDup (in for
+    # round 5); lines/incremental variants driver-green r4 -> tail
+    "dedup_exact", "dedup_minhash_lsh", "dedup_pipeline", "dedup_spans",
+    "dedup_semantic",
+    # similarity / ANN
     "embedding_cosine_topk", "ann_signlsh_topk",
-    "cosine_clusters",
-    # graph authority + mixture sampling (new families, round 3)
+    # graph authority + mixture sampling (round 3 families)
     "link_pagerank", "corpus_mixture_sample",
-    # text analysis / chunking / tokenization
-    "text_stats", "sanitize_text", "chunks_fixed",
-    # (regex_builtin_catalog -> tail for round 4: driver-green in r3
-    # and a builtin-pattern VARIANT of regex_extract which stays;
-    # lm_perplexity is the round-4 CCNet perplexity-filter family)
+    # text analysis / chunking / tokenization (chunks_topics = the
+    # TextTiling twin, round 5)
+    "text_stats", "chunks_fixed", "chunks_topics",
     "regex_extract", "lm_perplexity", "bpe_tokens",
-    # structured extraction / markdown / multimodal (jsonxpath_extract
-    # -> tail for round 3: driver-green in r2, same §2.7 row as
-    # jsoncss_extract which stays)
+    # structured extraction / markdown / multimodal (real decode in for
+    # round 5 alongside the byte-plumbing features oracle)
     "jsoncss_extract", "fit_html", "fit_markdown",
-    "multimodal_features",
-    # corpus quality / curation (new in round 3)
-    "quality_gopher", "decontaminate", "pii_redact",
-    # adaptive crawling (adaptive_term_stats + adaptive_consistency ->
-    # tail for round 4: both driver-green in r3 and both composed into
-    # adaptive_confidence which stays; adaptive_embedding_confidence is
-    # the round-4 EmbeddingStrategy twin, VERDICT r3 #3)
-    # (adaptive_saturation -> tail for round 4: driver-green in r3, its
-    # family keeps two reps — statistical + embedding confidence)
-    "adaptive_confidence", "adaptive_embedding_confidence",
+    "multimodal_features", "multimodal_decode",
+    # corpus quality / curation (full Gopher rule set in for round 5)
+    "quality_gopher", "quality_gopher_rules", "decontaminate", "pii_redact",
+    # adaptive crawling
+    "adaptive_confidence",
     # BM25
     "bm25_scores",
 ]
 
 _TAIL = [
+    # round-5 rotations out (driver-green r4)
+    "dedup_lines", "dedup_incremental", "adaptive_embedding_confidence",
+    "rank_links", "cosine_clusters", "sanitize_text", "url_domain_authority",
     "chunks_merge",
-    "dedup_spans", "dedup_semantic", "tpch_q3_revenue", "regex_builtin_catalog",
+    "tpch_q3_revenue", "regex_builtin_catalog",
     "adaptive_saturation", "adaptive_term_stats", "adaptive_consistency",
     "url_base_domain", "dedup_simhash", "jsonxpath_extract",
     "dedup_ngram_capped", "embedding_neardup_lsh",
-    "quality_gopher_rules",
     "curation_pipeline", "html_tables", "html_media_meta",
     "politeness_fairness", "sitemap_seeds", "scheme_fetch",
     "cache_read", "cache_upsert", "url_normalize_fast",
-    "ann_ivf_topk", "events_tumbling", "events_dedup", "dedup_lsh_capped",
+    "ann_ivf_topk", "events_tumbling", "dedup_lsh_capped",
     "dedup_incremental_capped",
     "head_relevance", "head_parse", "tpch_q1_pricing", "events_topk", "jsoncss_nested",
     "multimodal_resize_plan", "adaptive_coverage", "dedup_ngram_jaccard",
