@@ -49,11 +49,18 @@ def children_expr(i, n_docs):
 
 def build_corpus(docs: DataFrame, n_docs: int | None = None) -> DataFrame:
     """documents(doc_id, text, source, ...) -> corpus(url_norm, html,
-    status_code, fetch_ms) for CorpusFetcher."""
-    if n_docs is None:
-        n_docs = docs.count()
+    status_code, fetch_ms) for CorpusFetcher.
+
+    When ``n_docs`` is not supplied it rides a broadcast 1-row count
+    dim instead of a driver-side ``docs.count()`` job (the queries.py
+    scalar-subquery idiom — no extra driver job per corpus build)."""
     i = F.col("doc_id").cast("long")
-    kids = children_expr(i, n_docs)
+    if n_docs is None:
+        cnt = docs.select(F.count(F.lit(1)).alias("__n_docs"))
+        docs = docs.crossJoin(F.broadcast(cnt))
+        kids = children_expr(i, F.col("__n_docs"))
+    else:
+        kids = children_expr(i, n_docs)
     links_html = F.array_join(
         F.transform(
             kids,
@@ -120,9 +127,14 @@ def replicate_docs(docs: DataFrame, replicas: int, n_docs: int | None = None) ->
     from pyspark.sql import functions as F
 
     if n_docs is None:
-        n_docs = docs.count()
+        # broadcast 1-row count dim, not a driver-side count job
+        cnt = docs.select(F.count(F.lit(1)).alias("__n_docs"))
+        docs = docs.crossJoin(F.broadcast(cnt))
+        n_col = F.col("__n_docs")
+    else:
+        n_col = F.lit(n_docs)
     reps = docs.sparkSession.range(replicas).select(F.col("id").alias("k"))
     return docs.crossJoin(reps).select(
-        (F.col("doc_id").cast("long") + F.col("k") * n_docs).alias("doc_id"),
+        (F.col("doc_id").cast("long") + F.col("k") * n_col).alias("doc_id"),
         "text", "source",
     )

@@ -130,8 +130,12 @@ def run_backend(spark, name: str, filt, blob_cols, n: int, width: int,
         report["stash_entries_after"] = int(stash1["s"] or 0)
         report["n_items_after"] = int(stash1["n"] or 0)
 
+        # post-delete samples use a stride NOT aligned with the doom
+        # pattern (a multiple-of-100 stride lands every sampled id in
+        # id%100<delete_pct, leaving the remaining-keys check vacuous)
+        pd_stride = stride + 1 if stride % 100 == 0 else stride
         # deleted sample: hits now = FP floor + stash shielding only
-        del_sample = key_hashes(spark, 0, n, width, stride=stride).join(
+        del_sample = key_hashes(spark, 0, n, width, stride=pd_stride).join(
             doomed_keys, "url_hash", "left_semi")
         n_del_sample = del_sample.count()
         dhits, _ = timed_probe(filt, spark, del_sample)
@@ -140,7 +144,7 @@ def run_backend(spark, name: str, filt, blob_cols, n: int, width: int,
             dhits / max(1, n_del_sample), 6)
 
         # remaining sample: deletion must not create false negatives
-        remaining = key_hashes(spark, 0, n, width, stride=stride).join(
+        remaining = key_hashes(spark, 0, n, width, stride=pd_stride).join(
             doomed_keys, "url_hash", "left_anti")
         n_rem = remaining.count()
         rhits, _ = timed_probe(filt, spark, remaining)
