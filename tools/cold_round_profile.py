@@ -10,9 +10,10 @@ job; plan_job2 = discovery planning; job2_state_write = state write
 job; adopt/seen_ttl/bloom/metrics = commit tail), so the cold penalty
 is attributed to a phase instead of guessed at.
 
-Usage: python tools/cold_round_profile.py [sf_dir] [cpus] [depth]
-Prints one JSON line: {"runs": [{"round_phases": {...}, "wall_s": ...},
-...], "phase_totals": [...]}.
+Usage: python tools/cold_round_profile.py [sf_dir] [cpus] [depth] [prewarm]
+(prewarm=1 runs session.prewarm() before the first timed run — the A/B
+for the cold fix). Prints one JSON line: {"runs": [{"round_phases":
+{...}, "wall_s": ...}, ...], "phase_totals": [...]}.
 """
 
 from __future__ import annotations
@@ -74,16 +75,25 @@ def main() -> None:
     cpus = sys.argv[2] if len(sys.argv) > 2 else os.environ.get(
         "SPARK_GRAFT_CPUS", "32")
     depth = int(sys.argv[3]) if len(sys.argv) > 3 else 6
+    do_prewarm = len(sys.argv) > 4 and sys.argv[4] == "1"
+    n_runs = int(sys.argv[5]) if len(sys.argv) > 5 else 2
 
-    from crawl4ai_spark.session import build_session
+    from crawl4ai_spark.session import build_session, prewarm
 
     spark = build_session(app_name="cold-round-profile",
                           master=f"local[{cpus}]",
                           shuffle_partitions=int(cpus))
     spark.sparkContext.setLogLevel("ERROR")
-    runs = [run_once(spark, sf_dir, depth) for _ in range(2)]
+    prewarm_s = 0.0
+    if do_prewarm:
+        t0 = time.monotonic()
+        prewarm(spark)
+        prewarm_s = round(time.monotonic() - t0, 2)
+    runs = [run_once(spark, sf_dir, depth) for _ in range(n_runs)]
     print(json.dumps({"metric": "cold_round_profile", "sf_dir": sf_dir,
-                      "cpus": int(cpus), "depth": depth, "runs": runs}))
+                      "cpus": int(cpus), "depth": depth,
+                      "prewarm": do_prewarm, "prewarm_s": prewarm_s,
+                      "runs": runs}))
     spark.stop()
 
 
