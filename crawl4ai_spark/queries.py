@@ -2196,6 +2196,156 @@ def flagship(spark: SparkSession) -> DataFrame:
     return crawl_bfs(spark, "/root/testdata/sf0.001")
 
 
+# --- PDF processing (round 5: processors/pdf was a non-goal through r4) ----
+#
+# Synthesis rule (pure function of the documents row, so DuckDB can
+# recompute every output value): words = text split on single spaces,
+# 8 words per line, 10 lines per page, one URI link annotation per
+# page, Info dict {title, author=source, producer}. build_pdf writes a
+# REAL flate-compressed PDF; process_pdfs inflates and parses it back
+# through the full object/stream/content-stream layer — the oracle
+# checks the round trip value-exactly, page text included.
+_PDF_EXTRACT_ORACLE = """
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS i, string_split(text, ' ') AS ws,
+                  source
+           FROM documents),
+n AS (SELECT i, ws, source,
+             CAST(ceil(len(ws) / 8.0) AS BIGINT) AS nlines FROM d),
+ln AS (SELECT i, source, nlines, t.k AS k, (t.k // 10) AS page0,
+              array_to_string(list_slice(ws, t.k * 8 + 1, t.k * 8 + 8), ' ') AS line
+       FROM n, UNNEST(range(0, nlines)) AS t(k)),
+pg AS (SELECT i, source, page0,
+              string_agg(line, chr(10) ORDER BY k) AS raw_text,
+              CAST(ceil(max(nlines) / 10.0) AS INT) AS n_pages
+       FROM ln GROUP BY i, source, page0)
+SELECT CAST(i AS VARCHAR) AS doc_id,
+       CAST(page0 + 1 AS INT) AS page_number,
+       raw_text,
+       1 AS n_links,
+       'https://pdf.example.com/' || i || '/p' || page0 AS link0,
+       'Synthetic Corpus Document ' || i AS title,
+       source AS author,
+       n_pages
+FROM pg
+"""
+
+
+@register("pdf_extract", _PDF_EXTRACT_ORACLE)
+def pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF per-page extraction (processors/pdf/processor.py:57-231
+    NaivePDFProcessorStrategy): write real FlateDecode PDFs from the
+    documents table, parse them back with the stdlib object/stream/
+    text-operator layer (extraction/pdf.py), fan pages out as rows.
+    Round-trip value oracle: page text, links, Info metadata."""
+    import pandas as pd  # noqa: F401
+
+    from crawl4ai_spark.extraction.pdf import build_pdf, process_pdfs
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def _make_pdf(doc_id, text, source):
+        import pandas as pd
+        out = []
+        for i, t, src in zip(doc_id, text, source):
+            words = t.split(" ")
+            lines = [" ".join(words[k * 8:(k + 1) * 8])
+                     for k in range((len(words) + 7) // 8)]
+            pages = [lines[p * 10:(p + 1) * 10]
+                     for p in range((len(lines) + 9) // 10)]
+            links = [[f"https://pdf.example.com/{i}/p{p}"]
+                     for p in range(len(pages))]
+            out.append(build_pdf(pages, title=f"Synthetic Corpus Document {i}",
+                                 author=src, links=links))
+        return pd.Series(out)
+
+    make_pdf = F.pandas_udf(_make_pdf, "binary")
+
+    blobs = docs.select(
+        F.col("doc_id").cast("long").cast("string").alias("doc_id"),
+        make_pdf(F.col("doc_id").cast("long").cast("string"),
+                 "text", "source").alias("pdf"),
+    )
+    pages = process_pdfs(blobs)
+    return pages.select(
+        "doc_id", "page_number", "raw_text",
+        F.size("links").alias("n_links"),
+        F.element_at("links", 1).alias("link0"),
+        "title", "author", "n_pages",
+    )
+
+
+# --- LLM extraction / filtering (round 5: plumbing real, client
+#     injected — the service posture documented in extraction/llm.py) ----
+_LLM_EXTRACT_ORACLE = """
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS i, string_split(text, ' ') AS ws
+           FROM documents),
+b AS (SELECT i, t.k AS block_index, ws[CAST(t.k * 10 + 1 AS INT)] AS tag0,
+             array_to_string(list_slice(ws, t.k * 10 + 1, t.k * 10 + 10), ' ')
+               AS content0
+      FROM d, UNNEST(range(0, CAST(ceil(len(ws) / 10.0) AS BIGINT))) AS t(k))
+SELECT CAST(i AS VARCHAR) AS doc_id,
+       0 AS chunk_ix,
+       CAST(block_index AS INT) AS block_index,
+       tag0, content0,
+       CAST(0 AS BOOLEAN) AS error
+FROM b
+"""
+
+
+@register("llm_extract", _LLM_EXTRACT_ORACLE)
+def llm_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLMExtractionStrategy pipeline (extraction_strategy.py:479-803):
+    chunk -> prompt ({URL}/{HTML} protocol) -> completion -> the
+    <blocks>/JSON/ragged parse ladder -> block rows. Deterministic
+    client (10-word blocks, tag = first word) makes every value
+    SQL-recomputable; apply_chunking=False pins one chunk per doc
+    (threshold 1e9, the reference's own no-chunking mode)."""
+    from crawl4ai_spark.extraction.llm import (
+        DeterministicClient, LLMExtractionSpark)
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").cast("string").alias("doc_id"),
+        F.col("text").alias("content"),
+    )
+    strat = LLMExtractionSpark(DeterministicClient(words_per_block=10),
+                               apply_chunking=False)
+    blocks = strat.run_df(docs)
+    return blocks.select(
+        "doc_id", "chunk_ix", "block_index",
+        F.element_at("tags", 1).alias("tag0"),
+        F.element_at("content", 1).alias("content0"),
+        "error",
+    )
+
+
+_LLM_FILTER_ORACLE = """
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS i, string_split(text, ' ') AS ws
+           FROM documents),
+m AS (SELECT i,
+             array_to_string(list_filter(ws, w -> length(w) >= 4), ' ') AS markdown
+      FROM d)
+SELECT CAST(i AS VARCHAR) AS doc_id, 0 AS chunk_ix, markdown
+FROM m WHERE length(markdown) > 0
+"""
+
+
+@register("llm_filter", _LLM_FILTER_ORACLE)
+def llm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLMContentFilter pipeline (content_filter_strategy.py:780-1060):
+    chunk -> PROMPT_FILTER -> <content> markdown per chunk, ordered,
+    empties dropped. Deterministic filter client keeps words of
+    length >= 4 — the SQL-recomputable 'noise' rule."""
+    from crawl4ai_spark.extraction.llm import (
+        DeterministicFilterClient, LLMContentFilterSpark)
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").cast("string").alias("doc_id"),
+        F.col("text").alias("content"),
+    )
+    strat = LLMContentFilterSpark(DeterministicFilterClient(min_len=4))
+    return strat.run_df(docs).select("doc_id", "chunk_ix", "markdown")
+
+
 # The driver's correctness gate verifies the FIRST 50 registered queries.
 # Round 2 lost driver rows for 11 operators because later registrations
 # pushed them past slot 50 (VERDICT.md "What's wrong" #2).  The window
@@ -2218,10 +2368,17 @@ def flagship(spark: SparkSession) -> DataFrame:
 #        cosine_clusters (embedding_cosine_topk + ann_signlsh_topk stay),
 #        sanitize_text (text_stats stays), url_domain_authority
 #        (4 URL-family reps stay; its feeder link_pagerank stays).
+# Round-5 second rotation (same session; the round-4 non-goals flipped):
+#   IN : pdf_extract (NEW family — PDF page/link/metadata round trip),
+#        llm_extract + llm_filter (NEW family — LLM pipeline plumbing
+#        with the deterministic client).
+#   OUT (driver-green in r4, families still represented): url_seo
+#        (url_canonicalize/url_scores/url_filters stay), crawl_citations
+#        (8 crawl reps stay), bpe_tokens (5 text reps stay).
 _WINDOW = [
     # crawl engine
     "crawl_bfs", "crawl_spans", "crawl_links", "crawl_politeness",
-    "crawl_robots", "crawl_bestfirst", "crawl_dfs", "crawl_citations",
+    "crawl_robots", "crawl_bestfirst", "crawl_dfs",
     "crawl_contextual", "rate_limiter_fold", "seed_pipeline", "config_routing",
     # metrics/lineage table (round 4, VERDICT r3 #5)
     "crawl_metrics",
@@ -2231,7 +2388,7 @@ _WINDOW = [
     "kafka_wire_format",
     # URL functions / filters / scorers
     "url_canonicalize", "url_scores", "url_filters",
-    "url_seo", "filter_stats", "link_scores",
+    "filter_stats", "link_scores",
     # data-selection family (round 4)
     "dsir_select",
     # streaming windows (sessionize + the stateful rate_limiter_fold
@@ -2250,11 +2407,13 @@ _WINDOW = [
     # text analysis / chunking / tokenization (chunks_topics = the
     # TextTiling twin, round 5)
     "text_stats", "chunks_fixed", "chunks_topics",
-    "regex_extract", "lm_perplexity", "bpe_tokens",
+    "regex_extract", "lm_perplexity",
     # structured extraction / markdown / multimodal (real decode in for
     # round 5 alongside the byte-plumbing features oracle)
     "jsoncss_extract", "fit_html", "fit_markdown",
     "multimodal_features", "multimodal_decode",
+    # PDF + LLM pipeline families (round-5 second rotation)
+    "pdf_extract", "llm_extract", "llm_filter",
     # corpus quality / curation (full Gopher rule set in for round 5)
     "quality_gopher", "quality_gopher_rules", "decontaminate", "pii_redact",
     # adaptive crawling
@@ -2265,6 +2424,7 @@ _WINDOW = [
 
 _TAIL = [
     # round-5 rotations out (driver-green r4)
+    "url_seo", "crawl_citations", "bpe_tokens",
     "dedup_lines", "dedup_incremental", "adaptive_embedding_confidence",
     "rank_links", "cosine_clusters", "sanitize_text", "url_domain_authority",
     "chunks_merge",
