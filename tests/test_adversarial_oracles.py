@@ -3,7 +3,7 @@
 The driver's correctness gate compares each Spark query against a
 builder-authored DuckDB SQL oracle — a green row proves Spark-vs-DuckDB
 agreement on the builder's own semantics. These tests de-risk that
-caveat for four of the subtlest ops by recomputing the expected output
+caveat for five of the subtlest ops by recomputing the expected output
 a THIRD way: an independently-derived pure-Python reference model that
 shares no code with either the Spark op or the SQL oracle (only the
 published formulas: md5-prefix hashing, MinHash/LSH banding, the
@@ -19,6 +19,8 @@ Covered:
     gaps-and-islands span merge
   - crawl_contextual (engine loop)    — BFS + per-round BM25 head
     scoring folded into frontier priority (0.7/0.3 combine, clamps)
+  - dedup_semantic (ops/similarity.py) — hash-derived IVF centroids,
+    argmin cell assignment, same-cell lower-id max-cosine keeper
 
 Each model consumes the same raw parquet inputs the registered query
 consumes and must match the Spark result row-for-row.
@@ -375,3 +377,81 @@ def test_crawl_contextual_python_model(spark):
     for u, (d, s) in expected.items():
         assert got[u][0] == d, (u, got[u], (d, s))
         assert got[u][1] == pytest.approx(s, abs=1e-9), (u, got[u], s)
+
+
+# -- 5) dedup_semantic: IVF-cell SemDeDup (ops/similarity.py:320) ------------
+#
+# Model re-derives from the published pieces only: hash-derived
+# centroid components ((md5-prefix-hash % 2001 - 1000)/1000), argmin
+# cell with first-occurrence tie-break, same-cell lower-id max cosine
+# (rounded half-up to 6 dp per pair), keep = nn_cos < threshold.
+# Float folds follow the same left-to-right component order Spark's
+# aggregate/zip_with uses, so doubles match bit-for-bit.
+
+def test_dedup_semantic_python_model(spark):
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{SF}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    base = [(int(i), [float(x) for x in v])
+            for i, v in zip(tbl.column("vec_id").to_pylist(),
+                            tbl.column("embedding").to_pylist())]
+    vecs = dict(base)
+    for i, v in base:                      # the query's planted twins
+        if i % 50 == 0:
+            vecs[i + 10000000] = v
+
+    dim, n_cells, threshold = 64, 8, 0.9
+    cents = [[((h64(str(d), seed=f"ivf{c}") % 2001) - 1000) / 1000.0
+              for d in range(dim)] for c in range(n_cells)]
+
+    def cell_of(v):
+        best_c, best_d = 0, None
+        for c in range(n_cells):
+            acc = 0.0
+            for x, w in zip(v, cents[c]):
+                acc = acc + (x - w) * (x - w)
+            if best_d is None or acc < best_d:     # strict: first wins ties
+                best_c, best_d = c, acc
+        return best_c
+
+    def norm(v):
+        acc = 0.0
+        for x in v:
+            acc = acc + x * x
+        return math.sqrt(acc)
+
+    def r6(x: float) -> float:
+        return float(Decimal(x).quantize(Decimal("0.000001"),
+                                         rounding=ROUND_HALF_UP))
+
+    cells: dict[int, list[int]] = {}
+    norms = {}
+    for i, v in vecs.items():
+        cells.setdefault(cell_of(v), []).append(i)
+        norms[i] = norm(v)
+
+    expected = {}
+    for c, members in cells.items():
+        members.sort()
+        for pos, i in enumerate(members):
+            nn = -1.0
+            for j in members[:pos]:
+                acc = 0.0
+                for x, y in zip(vecs[i], vecs[j]):
+                    acc = acc + x * y
+                nn = max(nn, r6(acc / (norms[i] * norms[j])))
+            expected[i] = (c, nn, nn < threshold)
+
+    from crawl4ai_spark.queries import queries
+    got = {r.vec_id: (r.cell, r.nn_cos, r.keep)
+           for r in queries()["dedup_semantic"](spark, SF).collect()}
+
+    assert set(got) == set(expected)
+    planted = [i for i in expected if i >= 10000000]
+    assert planted and all(expected[i][1] == 1.0 and not expected[i][2]
+                           for i in planted)
+    for i, (c, nn, keep) in expected.items():
+        assert got[i][0] == c, (i, got[i], (c, nn, keep))
+        assert got[i][2] == keep, (i, got[i], (c, nn, keep))
+        assert got[i][1] == pytest.approx(nn, abs=1e-9), (i, got[i], nn)
