@@ -207,7 +207,9 @@ def main() -> None:
     # (VERDICT r3: the r3 record read as a regression partly because
     # it added queries to the total).
     extra = ["dedup_lines", "dedup_spans", "dedup_semantic", "dsir_select",
-             "lm_perplexity", "dedup_incremental", "quality_gopher_rules"]
+             "lm_perplexity", "dedup_incremental", "quality_gopher_rules",
+             # round-5 additions (PDF round trip + LLM pipelines)
+             "pdf_extract", "llm_extract", "llm_filter"]
     extra_timings: dict[str, float] = {}
     for names, sink in ((headline, timings), (extra, extra_timings)):
         for name in names:

@@ -215,6 +215,43 @@ class DeterministicClient:
         return "<blocks>" + json.dumps(blocks) + "</blocks>"
 
 
+class RateLimitError(Exception):
+    """Raised by a client when the serving endpoint rate-limits."""
+
+
+class BackoffClient:
+    """Exponential-backoff wrapper around any client —
+    ``perform_completion_with_backoff`` semantics (utils.py:1741-1808):
+    max_attempts tries, delay = base_delay * 2**attempt between them,
+    retry ONLY on RateLimitError (other errors propagate), and after
+    exhausting retries return an error RESPONSE rather than raise (the
+    reference returns an error payload; here an empty ragged body the
+    parse ladder turns into one error row — a rate-limited chunk
+    degrades to an error block instead of failing the Spark task).
+
+    ``sleep`` is injectable so executors/tests control the clock."""
+
+    def __init__(self, inner, max_attempts: int = 3, base_delay: float = 2.0,
+                 sleep=None):
+        import time as _time
+
+        self.inner = inner
+        self.max_attempts = max_attempts
+        self.base_delay = base_delay
+        self.sleep = sleep or _time.sleep
+
+    def complete(self, prompt: str) -> str:
+        for attempt in range(self.max_attempts):
+            try:
+                return self.inner.complete(prompt)
+            except RateLimitError as e:
+                if attempt < self.max_attempts - 1:
+                    self.sleep(self.base_delay * (2 ** attempt))
+                else:
+                    return json.dumps({"error": True, "tags": ["error"],
+                                       "content": [str(e)]})
+
+
 class DeterministicFilterClient:
     """Markdown-filter stand-in: returns the chunk's words as one
     ``<content>`` markdown paragraph, dropping words shorter than

@@ -196,3 +196,39 @@ def test_llm_filter_spark(spark):
     out = strat.run_df(df).collect()
     # doc 2 is all-noise -> client says "no content" -> no row
     assert [(r.doc_id, r.markdown) for r in out] == [("1", "short loooong words")]
+
+
+def test_backoff_client_retries_and_degrades():
+    from crawl4ai_spark.extraction.llm import BackoffClient, RateLimitError
+
+    class Flaky:
+        def __init__(self, fail_n):
+            self.fail_n, self.calls = fail_n, 0
+
+        def complete(self, prompt):
+            self.calls += 1
+            if self.calls <= self.fail_n:
+                raise RateLimitError("429")
+            return '<blocks>[{"index": 0, "tags": ["t"], "content": ["ok"]}]</blocks>'
+
+    sleeps = []
+    # recovers on the 3rd attempt; delays are base*2^attempt (2, 4)
+    c = BackoffClient(Flaky(2), max_attempts=3, base_delay=2.0,
+                      sleep=sleeps.append)
+    assert "ok" in c.complete("p")
+    assert sleeps == [2.0, 4.0]
+
+    # exhausted: returns an error payload the parse ladder turns into
+    # exactly one error block — the chunk degrades, the task survives
+    c2 = BackoffClient(Flaky(99), max_attempts=3, base_delay=1.0,
+                       sleep=sleeps.append)
+    blocks = parse_blocks(c2.complete("p"))
+    assert blocks == [{"error": True, "tags": ["error"], "content": ["429"]}]
+
+    # non-rate-limit errors propagate
+    class Broken:
+        def complete(self, prompt):
+            raise ValueError("boom")
+
+    with pytest.raises(ValueError):
+        BackoffClient(Broken(), sleep=lambda s: None).complete("p")
