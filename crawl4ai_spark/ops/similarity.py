@@ -86,14 +86,19 @@ def sign_lsh_bucket(vec_col, n_bits: int = 4, dim: int = 64):
     engine, no driver-side randomness, identical on every executor and
     every engine (portable oracle).
     """
+    import hashlib
+
     bucket = F.lit(0).cast("long")
     for j in range(n_bits):
-        comps = F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda d: (
-                F.pmod(hash64(d.cast("string"), seed=f"hp{j}"), F.lit(2001)) - 1000
-            ).cast("double") / 1000.0,
-        )
+        # plan-build-time literal hyperplane — same md5 formula as the
+        # per-row Catalyst form it replaces (bit-identical values; see
+        # _ivf_centroid_comps for the round-5 rationale: per-row
+        # derivation cost n_bits x dim md5 calls PER ROW)
+        comps = F.array(*[
+            F.lit((int(hashlib.md5(f"hp{j}:{d}".encode()).hexdigest()[:15],
+                       16) % 2001 - 1000) / 1000.0)
+            for d in range(dim)
+        ])
         proj = F.aggregate(
             F.zip_with(vec_col, comps, lambda x, c: x.cast("double") * c),
             F.lit(0.0),
@@ -230,14 +235,24 @@ def cluster_word_count_filter(
 
 def _ivf_centroid_comps(cell: int, dim: int):
     """Centroid `cell`'s component array: deterministic pseudo-random
-    values in [-1, 1], hash-derived inside Catalyst exactly like the
-    sign-LSH hyperplanes (engine-portable, no driver-side randomness)."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda d: (
-            F.pmod(hash64(d.cast("string"), seed=f"ivf{cell}"), F.lit(2001)) - 1000
-        ).cast("double") / 1000.0,
-    )
+    values in [-1, 1], md5-derived — the same cross-engine formula as
+    hash64 (`(int(md5('ivf{cell}:{d}')[:15 hex], 16) % 2001 - 1000) /
+    1000`), evaluated ONCE at plan-build time and embedded as a
+    literal array. Evaluating it in Catalyst per row (the pre-round-5
+    form) cost 8 cells x 64 dims = 512 md5 calls PER ROW and a huge
+    expression tree whose analyze/codegen time dominated the whole op
+    (BENCH.md round 5: dedup_semantic wall was flat from sf0.01 to
+    sf0.1 — all fixed cost). The values are bit-identical either way
+    (md5 is engine-independent; conv(hex,16,10) of 15 hex chars ==
+    int(hex, 16) < 2^60; pmod == % on non-negative), so every oracle
+    and the sign-LSH determinism contract are unchanged."""
+    import hashlib
+
+    return F.array(*[
+        F.lit((int(hashlib.md5(f"ivf{cell}:{d}".encode()).hexdigest()[:15],
+                   16) % 2001 - 1000) / 1000.0)
+        for d in range(dim)
+    ])
 
 
 def ivf_cell_distances(vec_col, n_cells: int = 8, dim: int = 64):
