@@ -440,6 +440,34 @@ def main():
             ldocs, ldocs.where(F.col("source") == "src0"))),
     ))
 
+    # 20. PDF page fan-out: one Arrow stage over a binary column
+    from crawl4ai_spark.queries import QUERIES
+
+    sections.append((
+        "PDF processing: single mapInPandas over BINARY, no shuffle",
+        "The whole per-document pipeline (object/stream parse, inflate, "
+        "text-operator walk, cleanup passes) is ONE Arrow-batched "
+        "python stage; pages fan out as rows inside it. The only "
+        "exchange in the plan is the test-scale scan-width guard — at "
+        "100 TB the input split is the parallelism and nothing "
+        "shuffles, because no cross-document state exists. Blob bytes "
+        "never reach a join or aggregate.",
+        fmt(QUERIES["pdf_extract"](spark, SF)),
+    ))
+
+    # 21. LLM extraction: same shape; the client call is the stage
+    sections.append((
+        "LLM extraction pipeline: chunk+prompt+parse in one python stage",
+        "Chunk merge, prompt build, client completion, and the parse "
+        "ladder all run inside one mapInPandas — block rows stream "
+        "out; token usage rides as columns (executor state never "
+        "mutates the driver). In production the client is a serving "
+        "endpoint, so the stage is I/O-bound and takes the loopback-"
+        "proven intra-batch thread pool; aggregate request rate is the "
+        "politeness/ratelimit ops' job, not this plan's.",
+        fmt(QUERIES["llm_extract"](spark, SF)),
+    ))
+
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write(
