@@ -343,10 +343,16 @@ class PdfDocument:
                     links.append(_to_text(uri))
         return links
 
-    def page_images(self, page: dict) -> list[dict]:
-        """Image XObject inventory (processor.py:233-303): name,
-        dimensions, filter list — decode itself stays with
-        ops/multimodal (PPM/BMP real, codecs stubbed)."""
+    def page_images(self, page: dict, with_data: bool = False) -> list[dict]:
+        """Image XObject walk (processor.py:233-303): name, dimensions,
+        filter list; with ``with_data``, also the decoded bytes and a
+        format tag following the reference's dispatch — FlateDecode
+        rasters inflate (PNG predictor applied when /DecodeParms says
+        so) and come back as raw RGB/gray samples (format 'raw'); DCT/
+        JPX streams pass through unchanged as ready image files
+        ('jpg'/'jp2', processor.py:303-317 writes them verbatim);
+        anything else is 'bin'. Pixel decode of compressed formats
+        stays with ops/multimodal (PPM/BMP real, codecs stubbed)."""
         res = self.resolve(page.get("/Resources")) or {}
         xo = self.resolve(res.get("/XObject")) if isinstance(res, dict) else None
         out = []
@@ -356,12 +362,29 @@ class PdfDocument:
                 filters = obj.get("/Filter", [])
                 if not isinstance(filters, list):
                     filters = [filters]
-                out.append({
+                filters = [str(self.resolve(f)) for f in filters]
+                rec = {
                     "name": name.lstrip("/"),
                     "width": int(self.resolve(obj.get("/Width", 0)) or 0),
                     "height": int(self.resolve(obj.get("/Height", 0)) or 0),
-                    "filters": [str(f) for f in filters],
-                })
+                    "filters": filters,
+                }
+                if with_data:
+                    fmt, data = "bin", None
+                    try:
+                        if "/DCTDecode" in filters:
+                            fmt, data = "jpg", self.streams.get(
+                                ref.num if isinstance(ref, Ref) else -1)
+                        elif "/JPXDecode" in filters:
+                            fmt, data = "jp2", self.streams.get(
+                                ref.num if isinstance(ref, Ref) else -1)
+                        else:
+                            fmt, data = "raw", self.stream_data(ref)
+                    except (ValueError, zlib.error):
+                        pass
+                    rec["format"] = fmt
+                    rec["data"] = data
+                out.append(rec)
         return out
 
 
@@ -640,14 +663,17 @@ def _esc(s: str) -> bytes:
 
 def build_pdf(pages: list[list[str]], title: str = "", author: str = "",
               producer: str = "crawl4ai-spark", links: list[list[str]] = None,
+              images: list[list[tuple[int, int, bytes]]] = None,
               compress: bool = True) -> bytes:
     """Write a valid single-font PDF: one content stream per page (one
     ``Tj`` per line, ``0 -14 Td`` between lines — so
     ``extract_page_text`` returns exactly ``"\\n".join(lines)``), one
-    URI link annotation per entry in ``links[page]``, and an Info
-    dict. FlateDecode when ``compress`` so parsers must really
-    inflate."""
+    URI link annotation per entry in ``links[page]``, one RGB image
+    XObject per ``(width, height, raster)`` in ``images[page]``
+    (FlateDecode raster, drawn via Do), and an Info dict. FlateDecode
+    when ``compress`` so parsers must really inflate."""
     links = links or [[] for _ in pages]
+    images = images or [[] for _ in pages]
     objs: list[bytes] = []          # bodies, object number = index+1
 
     def add(body: bytes) -> int:
@@ -655,14 +681,26 @@ def build_pdf(pages: list[list[str]], title: str = "", author: str = "",
         return len(objs)
 
     font = add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
-    page_ids, content_ids, annot_ids = [], [], []
-    for pg, ls in zip(pages, links):
+    page_ids, content_ids, annot_ids, image_ids = [], [], [], []
+    for imgs in images:
+        ids = []
+        for w, h, raster in imgs:
+            z = zlib.compress(raster)
+            ids.append(add(
+                b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+                b"/ColorSpace /DeviceRGB /BitsPerComponent 8 "
+                b"/Filter /FlateDecode /Length %d >>\nstream\n"
+                % (w, h, len(z)) + z + b"\nendstream"))
+        image_ids.append(ids)
+    for pg, ls, im_ids in zip(pages, links, image_ids):
         parts = [b"BT /F1 12 Tf 72 720 Td"]
         for k, line in enumerate(pg):
             if k:
                 parts.append(b"0 -14 Td")
             parts.append(b"(" + _esc(line) + b") Tj")
         parts.append(b"ET")
+        for n, _ in enumerate(im_ids, 1):
+            parts.append(b"q 96 0 0 64 72 520 cm /Im%d Do Q" % n)
         stream = b" ".join(parts)
         if compress:
             z = zlib.compress(stream)
@@ -678,13 +716,16 @@ def build_pdf(pages: list[list[str]], title: str = "", author: str = "",
                 b"<< /Type /Annot /Subtype /Link /Rect [72 700 300 714] "
                 b"/Border [0 0 0] /A << /S /URI /URI (" + _esc(u) + b") >> >>"))
         annot_ids.append(ids)
-    for cid, aids in zip(content_ids, annot_ids):
+    for cid, aids, im_ids in zip(content_ids, annot_ids, image_ids):
         annots = (b" /Annots [" + b" ".join(b"%d 0 R" % a for a in aids) + b"]"
                   if aids else b"")
+        xobj = (b" /XObject << " + b" ".join(
+            b"/Im%d %d 0 R" % (n, i) for n, i in enumerate(im_ids, 1))
+            + b" >>" if im_ids else b"")
         page_ids.append(add(
             b"<< /Type /Page /Parent PARENT 0 R /MediaBox [0 0 612 792] "
-            b"/Resources << /Font << /F1 %d 0 R >> >> /Contents %d 0 R%s >>"
-            % (font, cid, annots)))
+            b"/Resources << /Font << /F1 %d 0 R >>%s >> /Contents %d 0 R%s >>"
+            % (font, xobj, cid, annots)))
     pages_id = add(b"<< /Type /Pages /Kids ["
                    + b" ".join(b"%d 0 R" % p for p in page_ids)
                    + b"] /Count %d >>" % len(page_ids))

@@ -2274,6 +2274,67 @@ def pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PDF_IMAGES_ORACLE = """
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS i,
+                  substr(repeat(hex(encode(text)),
+                                CAST(ceil(96.0 / length(hex(encode(text))))
+                                     AS BIGINT)), 1, 96) AS hx
+           FROM documents),
+s AS (SELECT i, SUM(CAST(('0x' || substr(hx, 2*k+1, 2)) AS INT)) AS tot
+      FROM d, UNNEST(range(0, 48)) AS t(k)
+      GROUP BY i)
+SELECT CAST(i AS VARCHAR) AS doc_id, 'Im1' AS name,
+       4 AS width, 4 AS height, 'raw' AS fmt,
+       48 AS n_bytes, CAST(tot AS BIGINT) AS byte_sum,
+       CAST(tot AS BIGINT) AS px_sum
+FROM s
+"""
+
+
+@register("pdf_images", _PDF_IMAGES_ORACLE)
+def pdf_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF image-XObject extraction (processor.py:233-317
+    _extract_images): each synthetic PDF embeds one 4x4 RGB raster —
+    the first 48 UTF-8 bytes of the document text — as a FlateDecode
+    image; the parser inflates it back and ops/multimodal.decode_image
+    decodes real pixels through a PPM header. byte_sum (inflated
+    stream) and px_sum (decoded raster) must both equal the SQL sum
+    over the source bytes — a full-value oracle for the image path."""
+    import pandas as pd  # noqa: F401
+
+    from crawl4ai_spark.extraction.pdf import PdfDocument, build_pdf
+    from crawl4ai_spark.ops.multimodal import decode_image
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def run(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                b = t.encode("utf-8")
+                raster = (b * (48 // len(b) + 1))[:48]  # cycle short docs
+                blob = build_pdf([["img doc"]], images=[[(4, 4, raster)]])
+                doc = PdfDocument(blob)
+                for im in doc.page_images(doc.pages()[0], with_data=True):
+                    px = decode_image(b"P6 4 4 255\n" + im["data"])
+                    rows.append({
+                        "doc_id": str(i), "name": im["name"],
+                        "width": im["width"], "height": im["height"],
+                        "fmt": im["format"], "n_bytes": len(im["data"]),
+                        "byte_sum": int(sum(im["data"])),
+                        "px_sum": int(px.sum()),
+                    })
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "name", "width", "height", "fmt",
+                "n_bytes", "byte_sum", "px_sum"])
+
+    schema = ("doc_id string, name string, width int, height int, "
+              "fmt string, n_bytes int, byte_sum long, px_sum long")
+    return docs.select(F.col("doc_id").cast("long").cast("string")
+                       .alias("doc_id"), "text").mapInPandas(run, schema)
+
+
 # --- LLM extraction / filtering (round 5: plumbing real, client
 #     injected — the service posture documented in extraction/llm.py) ----
 _LLM_EXTRACT_ORACLE = """
@@ -2423,6 +2484,9 @@ _WINDOW = [
 ]
 
 _TAIL = [
+    # round-5 additions past the window (family repped in-window by
+    # pdf_extract; verified by the local dual-scale sweeps)
+    "pdf_images",
     # round-5 rotations out (driver-green r4)
     "url_seo", "crawl_citations", "bpe_tokens",
     "dedup_lines", "dedup_incremental", "adaptive_embedding_confidence",

@@ -229,3 +229,58 @@ def test_process_pdfs_spark(spark):
     assert out[0].title == "TA" and out[0].n_pages == 2
     assert out[2].title == "TB" and out[2].n_pages == 1
     assert out[0].markdown  # cleaners ran
+
+
+def test_image_data_extraction_flate_and_dct():
+    import zlib as _z
+
+    from crawl4ai_spark.ops.multimodal import decode_image
+
+    raster = bytes(range(48))
+    data = build_pdf([["x"]], images=[[(4, 4, raster)]])
+    doc = PdfDocument(data)
+    imgs = doc.page_images(doc.pages()[0], with_data=True)
+    assert imgs[0]["format"] == "raw" and imgs[0]["data"] == raster
+    # glue a PPM header on and the REAL pixel decode sees the raster
+    px = decode_image(b"P6 4 4 255\n" + raster)
+    assert int(px.sum()) == sum(raster)
+
+    # DCT streams pass through verbatim as 'jpg' (processor.py:303-317)
+    fake_jpeg = b"\xff\xd8\xff\xe0 fake jpeg bytes"
+    extra = (b"5 0 obj\n<< /Subtype /Image /Width 2 /Height 2 "
+             b"/Filter /DCTDecode /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+             % (len(fake_jpeg), fake_jpeg))
+    pdf = _wrap_pdf(b"BT (x) Tj ET", extra_objs=extra).replace(
+        b"/Contents 4 0 R",
+        b"/Contents 4 0 R /Resources << /XObject << /Im1 5 0 R >> >>")
+    doc2 = PdfDocument(pdf)
+    im = doc2.page_images(doc2.pages()[0], with_data=True)[0]
+    assert im["format"] == "jpg" and im["data"] == fake_jpeg
+
+
+def test_png_predictor_flate_stream():
+    import zlib as _z
+
+    from crawl4ai_spark.extraction.pdf import _png_predictor
+
+    # encode two 4-byte rows with filter type 2 (Up): stored value =
+    # raw - prev_row (mod 256); the inverse must recover the raw rows
+    row1, row2 = bytes([10, 20, 30, 40]), bytes([15, 25, 35, 45])
+    enc = bytes([2]) + row1 + bytes([2]) + bytes(
+        (b - a) % 256 for a, b in zip(row1, row2))
+    assert _png_predictor(enc, columns=4, colors=1, bits=8) == row1 + row2
+
+    # and through the document layer: /DecodeParms /Predictor 12
+    z = _z.compress(enc)
+    body = (b"%PDF-1.4\n"
+            b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+            b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+            b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+            b"4 0 obj\n<< /Length " + str(len(z)).encode()
+            + b" /Filter /FlateDecode /DecodeParms "
+            b"<< /Predictor 12 /Columns 4 /Colors 1 /BitsPerComponent 8 >> >>\n"
+            b"stream\n" + z + b"\nendstream\nendobj\n"
+            b"trailer\n<< /Size 5 /Root 1 0 R >>\n%%EOF\n")
+    doc = PdfDocument(body)
+    from crawl4ai_spark.extraction.pdf import Ref
+    assert doc.stream_data(Ref(4)) == row1 + row2
