@@ -50,17 +50,27 @@ def _lift_utils_functions(*names):
     (the module's own imports need packages this container lacks)."""
     src = open(f"{REF}/utils.py").read()
     tree = ast.parse(src)
-    wanted = [n for n in tree.body
-              if isinstance(n, ast.FunctionDef) and n.name in names]
-    assert len(wanted) == len(names), "reference function set changed"
+    # LAST def wins per name — identical to the module's own import-time
+    # semantics (utils.py defines normalize_url twice)
+    by_name = {n.name: n for n in tree.body
+               if isinstance(n, ast.FunctionDef) and n.name in names}
+    assert set(by_name) == set(names), "reference function set changed"
+    wanted = [by_name[n] for n in names]
     import json
     import re
     from array import array
+    from functools import lru_cache
     from itertools import chain
     from typing import (Any, Callable, Dict, Generator, Iterable, List,
                         Optional, Sequence, Tuple)
+    from urllib.parse import (parse_qs, parse_qsl, quote, unquote,
+                              urlencode, urljoin, urlparse, urlunparse)
 
     ns = {"re": re, "json": json, "array": array, "chain": chain,
+          "lru_cache": lru_cache,
+          "parse_qs": parse_qs, "parse_qsl": parse_qsl, "quote": quote,
+          "unquote": unquote, "urlencode": urlencode, "urljoin": urljoin,
+          "urlparse": urlparse, "urlunparse": urlunparse,
           "List": List, "Dict": Dict, "Optional": Optional, "Any": Any,
           "Callable": Callable, "Sequence": Sequence, "Tuple": Tuple,
           "Generator": Generator, "Iterable": Iterable}
@@ -207,3 +217,75 @@ def test_split_and_parse_json_objects_equals_reference():
     ]
     for s in battery:
         assert split_and_parse_json_objects(s) == ref_s(s), s
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization twins vs the lifted reference functions
+# ---------------------------------------------------------------------------
+
+_URL_BATTERY = [
+    # (href, base) pairs probing joins, case, tracking, fragments,
+    # trailing slashes, ports, encodings, query ordering, co.uk
+    ("https://Example.COM/Path/", "https://example.com"),
+    ("/relative/path?b=2&a=1", "https://example.com/dir/page"),
+    ("page2.html#frag", "https://example.com/dir/page.html"),
+    ("https://example.com/?utm_source=x&utm_medium=y&keep=1", "https://e.com"),
+    ("https://example.com/?ref=abc&fbclid=123", "https://e.com"),
+    ("https://example.com:8080/p", "https://e.com"),
+    ("https://example.com:443/p", "https://e.com"),
+    ("HTTPS://WWW.EXAMPLE.CO.UK/A/B/", "https://x.com"),
+    ("//cdn.example.net/lib.js", "https://example.com/page"),
+    ("https://example.com/a%20b/c?q=1%202", "https://e.com"),
+    ("?only=query", "https://example.com/base/path"),
+    ("https://example.com", "https://e.com"),
+    ("https://example.com/", "https://e.com"),
+    ("  https://example.com/spaces  ", "https://e.com"),
+    ("https://example.com/p?z=1&a=2&z=3", "https://e.com"),
+    ("ftp://files.example.com/x", "https://e.com"),
+]
+
+
+def test_normalize_url_for_deep_crawl_equals_reference():
+    (ref_fn,) = _lift_utils_functions("normalize_url_for_deep_crawl")
+    from crawl4ai_spark.functions.urlnorm import normalize_url_for_deep_crawl
+
+    for href, base in _URL_BATTERY:
+        assert normalize_url_for_deep_crawl(href, base) == ref_fn(href, base), \
+            (href, base)
+
+
+def test_efficient_normalize_equals_reference():
+    (ref_fn,) = _lift_utils_functions("efficient_normalize_url_for_deep_crawl")
+    from crawl4ai_spark.functions.urlnorm import (
+        efficient_normalize_url_for_deep_crawl)
+
+    for href, base in _URL_BATTERY:
+        assert (efficient_normalize_url_for_deep_crawl(href, base)
+                == ref_fn(href, base)), (href, base)
+
+
+def test_normalize_url_extended_equals_reference():
+    (ref_fn,) = _lift_utils_functions("normalize_url")
+    from crawl4ai_spark.functions.urlnorm import normalize_url_extended
+
+    for href, base in _URL_BATTERY:
+        assert normalize_url_extended(href, base) == ref_fn(href, base), \
+            (href, base)
+
+
+def test_base_domain_and_external_equal_reference():
+    ref_base, ref_ext = _lift_utils_functions("get_base_domain",
+                                              "is_external_url")
+    from crawl4ai_spark.functions.urlnorm import (get_base_domain,
+                                                  is_external_url)
+
+    urls = ["https://www.example.co.uk/a", "https://sub.deep.example.com/x",
+            "https://example.com", "https://localhost:8000/p",
+            "https://www.gov.uk/x", "http://a.b.c.d.example.ac.jp/",
+            "mailto:someone@example.com", "https://127.0.0.1/x",
+            "https://example.com:8443/path?q=1"]
+    for u in urls:
+        assert get_base_domain(u) == ref_base(u), u
+    for u in urls:
+        for bd in ("example.com", "example.co.uk", ""):
+            assert is_external_url(u, bd) == ref_ext(u, bd), (u, bd)
