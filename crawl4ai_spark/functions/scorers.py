@@ -107,6 +107,30 @@ def freshness_score(url, current_year: int = 2024, weight: float = 1.0) -> Colum
     return (score * F.lit(weight)).cast("double")
 
 
+def authority_domain(url) -> Column:
+    """The reference scorer's own ultra-fast domain key
+    (scorers.py _extract_domain): the substring after '://' (or the
+    whole prefix when schemeless), cut at the first of '/?#', with
+    everything from the LAST ':' stripped (the port — rfind, a pinned
+    quirk), lowercased. NO www-stripping and NO base-domain collapse —
+    'blog.example.com' is a different key from 'example.com' (equality
+    test vs the genuine class caught the earlier base-domain form
+    scoring subdomains that the reference leaves at default_weight)."""
+    u = _url(url)
+    pos = F.instr(u, "://")  # FIRST occurrence, like the reference's find
+    rest = F.when(pos > 0, F.substr(u, pos + F.lit(3), F.length(u))) \
+            .otherwise(u)
+    # the reference tries '/' THEN '?' THEN '#' (not earliest-of-any):
+    # a '?' before the first '/' stays inside the key — pinned quirk
+    end = (F.when(F.instr(rest, "/") > 0, F.instr(rest, "/"))
+            .when(F.instr(rest, "?") > 0, F.instr(rest, "?"))
+            .when(F.instr(rest, "#") > 0, F.instr(rest, "#"))
+            .otherwise(F.length(rest) + 1))
+    host = F.substr(rest, F.lit(1), end - 1)
+    host = F.regexp_replace(host, ":[^:]*$", "")
+    return F.lower(host)
+
+
 def domain_authority_score(df, weights: dict[str, float] | None = None,
                            weights_df=None, url_col: str = "url_norm",
                            default: float = 0.5, weight: float = 1.0,
@@ -114,12 +138,11 @@ def domain_authority_score(df, weights: dict[str, float] | None = None,
     """DomainAuthorityScorer (scorers.py:414-519): domain -> weight dim.
 
     Join-based (broadcast) when given a DataFrame dim; map-expression
-    when given a small dict. Domain key is the reference's base domain
-    (www/port-stripped, co.uk-aware) via the vectorized UDF.
-    """
-    from crawl4ai_spark.functions.urlnorm import base_domain_udf
-
-    dom = base_domain_udf(F.col(url_col))
+    when given a small dict. Keyed by ``authority_domain`` — the
+    reference scorer's full-host rule (round-5 fix; it previously used
+    get_base_domain, which collapses subdomains the reference does
+    not)."""
+    dom = authority_domain(F.col(url_col))
     if weights_df is not None:
         w = weights_df.select(
             F.col("domain").alias("__dom"), F.col("weight").alias("__w")

@@ -3628,8 +3628,10 @@ FROM docs
 @register("url_domain_authority", _DOMAUTH_ORACLE)
 def url_domain_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DomainAuthorityScorer (scorers.py:414-519): broadcast domain-dim
-    join keyed on the reference's base-domain extraction, default 0.5,
-    weight multiplier."""
+    join keyed on the reference scorer's own full-host rule (round-5
+    fix: subdomains/www are distinct keys, not collapsed — pinned
+    byte-equal vs the genuine class in tests/test_reference_equality),
+    default 0.5, weight multiplier."""
     from crawl4ai_spark.functions.scorers import domain_authority_score
 
     docs = _t(spark, sf_dir, "documents")
@@ -3640,7 +3642,7 @@ def url_domain_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.format_string("https://neutral%d.org/y", i % 10))
     )
     weights = spark.createDataFrame(
-        [(f"good{k}.co.uk", 0.9) for k in range(10)]
+        [(f"www.good{k}.co.uk", 0.9) for k in range(10)]
         + [(f"bad{k}.com", 0.2) for k in range(10)],
         "domain string, weight double",
     )

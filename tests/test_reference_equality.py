@@ -289,3 +289,99 @@ def test_base_domain_and_external_equal_reference():
     for u in urls:
         for bd in ("example.com", "example.co.uk", ""):
             assert is_external_url(u, bd) == ref_ext(u, bd), (u, bd)
+
+
+# ---------------------------------------------------------------------------
+# Scorer family vs the reference's own scorer classes (all-stdlib module,
+# imported directly; my twins evaluate as Spark Columns on a URL battery)
+# ---------------------------------------------------------------------------
+
+def _load_scorers():
+    spec = importlib.util.spec_from_file_location(
+        "ref_scorers", f"{REF}/deep_crawling/scorers.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
+
+
+_SCORE_URLS = [
+    "https://example.com/spark-data-page",
+    "https://example.com/a/b/c",
+    "https://example.com/a/b/c/d/e/f/g",
+    "https://example.com/",
+    "https://e.com/x.html",
+    "https://e.com/docs/paper.pdf",
+    "https://e.com/archive/2023/01/post",
+    "https://e.com/2019-05-02/old",
+    "https://e.com/y2049/notayear",
+    "https://blog.example.com/spark",
+    "https://other.org/data/DATA/Spark",
+    "https://example.com/no/match/here.xyz",
+]
+
+# host-rule quirk probes — valid only for the domain-authority key
+# (other scorers' path parsing legitimately differs on schemeless input,
+# which can_process_url rejects before any scorer runs)
+_DOMAIN_QUIRK_URLS = [
+    "example.com/schemeless/path",
+    "https://example.com:8080/ported",
+    "https://example.com?q=1/slash-in-query",
+]
+
+
+def test_scorers_equal_reference(spark):
+    from pyspark.sql import functions as F
+
+    from crawl4ai_spark.functions import scorers as S
+
+    ref = _load_scorers()
+    kw = ["spark", "data"]
+    tw = {".html$": 1.0, ".pdf$": 0.8, "archive": 0.6}
+    dw = {"example.com": 0.9, "other.org": 0.7}
+
+    ref_scorers = {
+        "kw": ref.KeywordRelevanceScorer(keywords=kw, weight=1.0),
+        "depth": ref.PathDepthScorer(optimal_depth=3, weight=1.0),
+        "ctype": ref.ContentTypeScorer(type_weights=dict(tw), weight=1.0),
+        "fresh": ref.FreshnessScorer(weight=1.0, current_year=2024),
+        "composite": ref.CompositeScorer(
+            [ref.KeywordRelevanceScorer(keywords=kw),
+             ref.PathDepthScorer(optimal_depth=3)], normalize=True),
+    }
+
+    df = spark.createDataFrame([(u,) for u in _SCORE_URLS], "url string")
+    got = df.select(
+        "url",
+        S.keyword_relevance_score("url", kw).alias("kw"),
+        S.path_depth_score("url", optimal_depth=3).alias("depth"),
+        S.content_type_score("url", tw).alias("ctype"),
+        S.freshness_score("url", current_year=2024).alias("fresh"),
+        S.composite_score(
+            S.keyword_relevance_score("url", kw),
+            S.path_depth_score("url", optimal_depth=3),
+            normalize=True).alias("composite"),
+    ).collect()
+
+    for row in got:
+        for name, rs in ref_scorers.items():
+            assert row[name] == pytest.approx(rs.score(row.url), abs=1e-6), \
+                (name, row.url, row[name], rs.score(row.url))
+
+
+def test_domain_authority_equals_reference(spark):
+    from pyspark.sql import functions as F
+
+    from crawl4ai_spark.functions import scorers as S
+
+    ref = _load_scorers()
+    dw = {"example.com": 0.9, "other.org": 0.7}
+    rs = ref.DomainAuthorityScorer(domain_weights=dict(dw),
+                                   default_weight=0.4, weight=1.0)
+    urls = _SCORE_URLS + _DOMAIN_QUIRK_URLS
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = S.domain_authority_score(df, weights=dict(dw), default=0.4,
+                                   url_col="url").collect()
+    assert len(got) == len(urls)
+    for row in got:
+        assert row.domain_score == pytest.approx(rs.score(row.url),
+                                                 abs=1e-6), row.url
