@@ -125,43 +125,65 @@ def url_pattern_filter(url, patterns: list[str] | str, reverse: bool = False) ->
 
 # -- ContentTypeFilter (filters.py:258-421) ----------------------------------
 
+# the reference's own extension->MIME table, verbatim
+# (filters.py:264-341 _MIME_MAP — constants, cited)
 _EXT_MIME = {
-    # text/web
-    "html": "text/html", "htm": "text/html", "xhtml": "text/html",
-    "php": "text/html", "asp": "text/html", "aspx": "text/html",
-    "jsp": "text/html", "txt": "text/plain", "md": "text/markdown",
-    "css": "text/css", "csv": "text/csv", "xml": "application/xml",
-    "json": "application/json", "js": "application/javascript",
-    # documents
-    "pdf": "application/pdf", "doc": "application/msword",
-    "docx": "application/msword", "xls": "application/vnd.ms-excel",
-    "xlsx": "application/vnd.ms-excel", "ppt": "application/vnd.ms-powerpoint",
-    "pptx": "application/vnd.ms-powerpoint",
-    # images
-    "jpg": "image/jpeg", "jpeg": "image/jpeg", "png": "image/png",
-    "gif": "image/gif", "webp": "image/webp", "svg": "image/svg+xml",
-    "ico": "image/x-icon", "avif": "image/avif",
-    # av
-    "mp3": "audio/mpeg", "wav": "audio/wav", "ogg": "audio/ogg",
-    "mp4": "video/mp4", "webm": "video/webm", "avi": "video/x-msvideo",
-    "mov": "video/quicktime",
-    # archives
-    "zip": "application/zip", "gz": "application/gzip",
-    "tar": "application/x-tar", "rar": "application/vnd.rar",
+    "txt": "text/plain", "html": "text/html", "htm": "text/html",
+    "xhtml": "application/xhtml+xml", "css": "text/css", "csv": "text/csv",
+    "ics": "text/calendar", "js": "application/javascript", "bmp": "image/bmp",
+    "gif": "image/gif", "jpeg": "image/jpeg", "jpg": "image/jpeg",
+    "png": "image/png", "svg": "image/svg+xml", "tiff": "image/tiff",
+    "ico": "image/x-icon", "webp": "image/webp", "mp3": "audio/mpeg",
+    "wav": "audio/wav", "ogg": "audio/ogg", "m4a": "audio/mp4",
+    "aac": "audio/aac", "mp4": "video/mp4", "mpeg": "video/mpeg",
+    "webm": "video/webm", "avi": "video/x-msvideo", "mov": "video/quicktime",
+    "flv": "video/x-flv", "wmv": "video/x-ms-wmv", "mkv": "video/x-matroska",
+    "json": "application/json", "xml": "application/xml", "pdf": "application/pdf",
+    "zip": "application/zip", "gz": "application/gzip", "tar": "application/x-tar",
+    "rar": "application/vnd.rar", "7z": "application/x-7z-compressed", "exe": "application/vnd.microsoft.portable-executable",
+    "msi": "application/x-msdownload", "woff": "font/woff", "woff2": "font/woff2",
+    "ttf": "font/ttf", "otf": "font/otf", "doc": "application/msword",
+    "dot": "application/msword", "docx": "application/vnd.openxmlformats-officedocument.wordprocessingml.document", "xlsx": "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet",
+    "xls": "application/vnd.ms-excel", "ppt": "application/vnd.ms-powerpoint", "pptx": "application/vnd.openxmlformats-officedocument.presentationml.presentation",
+    "odt": "application/vnd.oasis.opendocument.text", "ods": "application/vnd.oasis.opendocument.spreadsheet", "odp": "application/vnd.oasis.opendocument.presentation",
+    "tar.gz": "application/gzip", "tgz": "application/gzip", "bz2": "application/x-bzip2",
+    "rtf": "application/rtf", "apk": "application/vnd.android.package-archive", "epub": "application/epub+zip",
+    "jar": "application/java-archive", "swf": "application/x-shockwave-flash", "midi": "audio/midi",
+    "mid": "audio/midi", "ps": "application/postscript", "ai": "application/postscript",
+    "eps": "application/postscript", "bin": "application/octet-stream", "dmg": "application/x-apple-diskimage",
+    "iso": "application/x-iso9660-image", "deb": "application/x-debian-package", "rpm": "application/x-rpm",
+    "sqlite": "application/vnd.sqlite3", "unknown": "application/octet-stream", "php": "application/x-httpd-php",
+    "php3": "application/x-httpd-php", "php4": "application/x-httpd-php", "php5": "application/x-httpd-php",
+    "php7": "application/x-httpd-php", "phtml": "application/x-httpd-php", "phps": "application/x-httpd-php-source",
 }
 
 
 def content_type_filter(url, allowed_types: list[str]) -> Column:
     """Allow-list on extension-implied MIME; extensionless URLs pass
-    (filters.py:258-421)."""
+    (filters.py:258-421), reference-exact (round-5 equality fix):
+
+    - an allowed type matches by SUBSTRING containment in the MIME
+      value (`any(allowed in mime)` — 'text' admits every text/*,
+      'html' admits text/html AND application/xhtml+xml);
+    - the extension comes from the last path segment taken from the
+      FIRST '/' after the scheme, with NO query/fragment stripping
+      (`/q?p=1` has no dot, so it passes — pinned quirk);
+    - unknown extensions fail, extensionless URLs pass.
+    """
     allowed = {t.lower() for t in allowed_types}
-    exts = [e for e, m in _EXT_MIME.items() if m in allowed
-            or m.split("/")[0] in allowed]
+    exts = [e for e, m in _EXT_MIME.items()
+            if any(a in m for a in allowed)]
     u = _url(url)
-    no_q = F.substring_index(F.substring_index(u, "?", 1), "#", 1)
-    last_seg = F.substring_index(no_q, "/", -1)
-    has_ext = last_seg.contains(".")
-    ext = F.lower(F.substring_index(last_seg, ".", -1))
+    after_scheme = F.when(F.instr(u, "://") > 0,
+                          F.substr(u, F.instr(u, "://") + F.lit(3),
+                                   F.length(u))).otherwise(u)
+    path = F.when(F.instr(after_scheme, "/") > 0,
+                  F.substr(after_scheme, F.instr(after_scheme, "/"),
+                           F.length(after_scheme))).otherwise(F.lit(""))
+    filename = F.when(F.instr(path, "/") > 0,
+                      F.substring_index(path, "/", -1)).otherwise(F.lit(""))
+    has_ext = filename.contains(".")
+    ext = F.lower(F.substring_index(filename, ".", -1))
     return ~has_ext | ext.isin(exts)
 
 

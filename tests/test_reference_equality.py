@@ -385,3 +385,116 @@ def test_domain_authority_equals_reference(spark):
     for row in got:
         assert row.domain_score == pytest.approx(rs.score(row.url),
                                                  abs=1e-6), row.url
+
+
+# ---------------------------------------------------------------------------
+# Filter family vs the lifted reference classes (filters.py needs
+# HeadPeekr from the heavy utils module, so classes lift by AST)
+# ---------------------------------------------------------------------------
+
+def _lift_filters(*names):
+    src = open(f"{REF}/deep_crawling/filters.py").read()
+    tree = ast.parse(src)
+    wanted = [n for n in tree.body
+              if isinstance(n, ast.ClassDef) and n.name in names]
+    assert {w.name for w in wanted} == set(names)
+    import fnmatch
+    import logging
+    import math
+    import re
+    import weakref
+    from abc import ABC, abstractmethod
+    from array import array
+    from collections import defaultdict
+    from dataclasses import dataclass
+    from functools import lru_cache
+    from typing import Dict, List, Pattern, Set, Union
+    from urllib.parse import urlparse
+
+    ns = {"re": re, "fnmatch": fnmatch, "logging": logging,
+          "weakref": weakref, "math": math, "ABC": ABC,
+          "abstractmethod": abstractmethod, "array": array,
+          "lru_cache": lru_cache, "urlparse": urlparse, "List": List,
+          "Pattern": Pattern, "Set": Set, "Union": Union, "Dict": Dict,
+          "defaultdict": defaultdict, "dataclass": dataclass}
+    mod = ast.Module(body=wanted, type_ignores=[])
+    exec(compile(mod, "<reference-filters>", "exec"), ns)
+    return [ns[n] for n in names]
+
+
+_FILTER_URLS = [
+    "https://example.com/page.html",
+    "https://example.com/docs/paper.pdf",
+    "https://example.com/x.exe",
+    "https://example.com/no-extension",
+    "https://example.com/blog/post-2023",
+    "https://blog.example.com/a/b.html",
+    "https://good.org/start/here.txt",
+    "https://e.com/a/b/c/d.jsp",
+    "https://e.com/q?p=1",
+    "https://sub.deep.example.co.uk/x.HTML",
+]
+
+
+def test_url_pattern_filter_equals_reference(spark):
+    (FilterStats, URLFilter, RefPat) = _lift_filters(
+        "FilterStats", "URLFilter", "URLPatternFilter")
+    from crawl4ai_spark.functions.filters import url_pattern_filter
+
+    pattern_sets = [
+        ["*.html"],
+        ["*.html", "*.pdf"],
+        ["^https://good"],
+        ["/blog/*"],                       # full-URL fnmatch quirk
+        ["https://example.com/blog/*"],
+        ["*.example.com"],
+        ["https://*.example.com/*"],
+        ["*.{html,pdf}"],
+        ["https://**/paper.pdf"],
+    ]
+    df = spark.createDataFrame([(u,) for u in _FILTER_URLS], "url string")
+    for pats in pattern_sets:
+        for reverse in (False, True):
+            ref = RefPat(patterns=list(pats), reverse=reverse)
+            got = df.select(
+                "url", url_pattern_filter("url", list(pats), reverse=reverse)
+                .alias("ok")).collect()
+            for row in got:
+                assert row.ok == ref.apply(row.url), (pats, reverse, row.url)
+
+
+def test_content_type_filter_equals_reference(spark):
+    (FilterStats, URLFilter, RefCT) = _lift_filters(
+        "FilterStats", "URLFilter", "ContentTypeFilter")
+    from crawl4ai_spark.functions.filters import content_type_filter
+
+    for allowed in (["text/html"], ["text/html", "application/pdf"],
+                    ["text/plain"]):
+        ref = RefCT(allowed_types=list(allowed))
+        df = spark.createDataFrame([(u,) for u in _FILTER_URLS], "url string")
+        got = df.select("url", content_type_filter("url", list(allowed))
+                        .alias("ok")).collect()
+        for row in got:
+            assert row.ok == ref.apply(row.url), (allowed, row.url)
+
+
+def test_domain_filter_equals_reference(spark):
+    (FilterStats, URLFilter, RefD) = _lift_filters(
+        "FilterStats", "URLFilter", "DomainFilter")
+    from crawl4ai_spark.functions.filters import domain_filter
+    from crawl4ai_spark.functions.urlnorm import url_host
+
+    cases = [
+        (["example.com"], None),
+        (None, ["bad.example.com"]),
+        (["example.com", "good.org"], ["blog.example.com"]),
+        (["example.co.uk"], None),
+    ]
+    df = spark.createDataFrame([(u,) for u in _FILTER_URLS], "url string")
+    for allowed, blocked in cases:
+        ref = RefD(allowed_domains=allowed, blocked_domains=blocked)
+        got = df.select(
+            "url", domain_filter(url_host(__import__('pyspark.sql.functions', fromlist=['col']).col('url')), allowed_domains=allowed,
+                                 blocked_domains=blocked).alias("ok")).collect()
+        for row in got:
+            assert row.ok == ref.apply(row.url), (allowed, blocked, row.url)
