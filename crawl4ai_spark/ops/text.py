@@ -145,6 +145,16 @@ def shingle_fingerprint(col, n: int = 3) -> Column:
 
 # -- chunking (chunking_strategy.py:28-256) ---------------------------------
 
+def _ws_tokens(col) -> Column:
+    """Whitespace tokenization with empty-drop — Python's str.split()
+    with no argument, which is what every reference chunking strategy
+    calls (chunking_strategy.py:158,187,232). Distinct from tokens():
+    the single-space form is the cross-engine oracle contract for the
+    n-gram/dedup ops over the single-spaced synthetic corpora; the
+    chunkers must match the reference on ARBITRARY whitespace."""
+    return F.filter(F.split(_c(col), r"\s+"), lambda x: x != "")
+
+
 def chunk_fixed_words(df: DataFrame, text_col: str, chunk_size: int,
                       out_col: str = "chunk") -> DataFrame:
     """FixedLengthWordChunking: consecutive chunk_size-word chunks.
@@ -158,7 +168,7 @@ def chunk_fixed_words(df: DataFrame, text_col: str, chunk_size: int,
         return F.transform(
             starts, lambda i: F.concat_ws(" ", F.slice(t, i, chunk_size)))
 
-    chunks = F.flatten(F.transform(F.array(tokens(text_col)), _chunks))
+    chunks = F.flatten(F.transform(F.array(_ws_tokens(text_col)), _chunks))
     return df.select(
         "*", F.posexplode(chunks).alias("chunk_id", out_col)
     )
@@ -167,16 +177,25 @@ def chunk_fixed_words(df: DataFrame, text_col: str, chunk_size: int,
 def chunk_sliding_window(df: DataFrame, text_col: str, window: int, step: int,
                          out_col: str = "chunk") -> DataFrame:
     """SlidingWindowChunking: window-size word chunks every `step` words
-    (chunking_strategy.py:180-214). Short docs yield themselves whole.
-    Token array let-bound (see word_ngrams) — split once per doc, not
-    once per window."""
+    (chunking_strategy.py:175-214), reference-exact: short docs return
+    the ORIGINAL text; the main loop is range(0, n-window+1, step); and
+    when the last start doesn't reach the end, the final words[-window:]
+    chunk is appended (the reference's tail fix-up). Token array
+    let-bound (see word_ngrams) — split once per doc, not per window."""
     def _chunks(t):
-        last_start = F.greatest(F.lit(1), F.size(t) - (window - 1))
-        starts = F.sequence(F.lit(1), last_start, F.lit(step))
-        return F.transform(
+        n = F.size(t)
+        last0 = F.floor((n - window).cast("double") / step).cast("int") * step
+        starts = F.sequence(F.lit(1), last0 + 1, F.lit(step))
+        main = F.transform(
             starts, lambda i: F.concat_ws(" ", F.slice(t, i, window)))
+        tail = F.when(last0 + window < n,
+                      F.array(F.concat_ws(" ", F.slice(t, n - window + 1,
+                                                       window)))
+                      ).otherwise(F.array().cast("array<string>"))
+        return F.when(n <= window, F.array(_c(text_col))) \
+                .otherwise(F.concat(main, tail))
 
-    chunks = F.flatten(F.transform(F.array(tokens(text_col)), _chunks))
+    chunks = F.flatten(F.transform(F.array(_ws_tokens(text_col)), _chunks))
     return df.select("*", F.posexplode(chunks).alias("chunk_id", out_col))
 
 
@@ -226,7 +245,7 @@ def chunk_overlapping(df: DataFrame, text_col: str, window: int = 1000,
         )
 
     # token array let-bound (see word_ngrams): split once per doc
-    chunks = F.flatten(F.transform(F.array(tokens(text_col)), _chunks))
+    chunks = F.flatten(F.transform(F.array(_ws_tokens(text_col)), _chunks))
     return df.select("*", F.posexplode(chunks).alias("chunk_id", out_col))
 
 

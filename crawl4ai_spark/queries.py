@@ -1882,13 +1882,27 @@ def chunks_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.col("chunk_id").cast("int").alias("chunk_id"), "chunk")
 
 
+# Reference-exact sliding semantics (round-5 equality fix,
+# chunking_strategy.py:175-214): docs of <= window words return the
+# original text; the main loop is range(0, n-window+1, step); a final
+# words[-window:] chunk is appended when the last start stops short.
 _CHUNK_SLIDE_ORACLE = """
-WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, string_split(text, ' ') AS toks FROM documents),
-s AS (SELECT doc_id, toks,
-        UNNEST(range(1, greatest(1, len(toks) - 29) + 1, 10)) AS start FROM d)
-SELECT doc_id, CAST((start - 1) / 10 AS INT) AS chunk_id,
-       array_to_string(list_slice(toks, start, start + 29), ' ') AS chunk
-FROM s
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                  string_split(text, ' ') AS toks, text FROM documents),
+p AS (SELECT doc_id, toks, text, len(toks) AS n,
+             CAST(floor((len(toks) - 30) / 10.0) AS BIGINT) * 10 AS last0
+      FROM d),
+main AS (
+  SELECT doc_id, CAST((t.start - 1) / 10 AS INT) AS chunk_id,
+         array_to_string(list_slice(toks, t.start, t.start + 29), ' ') AS chunk
+  FROM p, UNNEST(range(1, last0 + 2, 10)) AS t(start)
+  WHERE n > 30),
+tail AS (
+  SELECT doc_id, CAST(last0 / 10 + 1 AS INT) AS chunk_id,
+         array_to_string(list_slice(toks, n - 29, n), ' ') AS chunk
+  FROM p WHERE n > 30 AND last0 + 30 < n),
+short AS (SELECT doc_id, 0 AS chunk_id, text AS chunk FROM p WHERE n <= 30)
+SELECT * FROM main UNION ALL SELECT * FROM tail UNION ALL SELECT * FROM short
 """
 
 

@@ -185,8 +185,11 @@ def test_chunking(spark):
     assert fixed[0].chunk.split()[0] == "w0"
     assert len(fixed[2].chunk.split()) == 5
     slid = text_ops.chunk_sliding_window(df, "text", window=30, step=10).collect()
-    assert len(slid) == 2  # starts 1, 11 (last_start = 45-29 = 16)
+    # reference-exact (round 5): main starts 0, 10 (range(0, 16, 10)),
+    # then the words[-30:] tail chunk since 10+30 < 45
+    assert len(slid) == 3
     assert slid[1].chunk.split()[0] == "w10"
+    assert slid[2].chunk.split()[0] == "w15" and len(slid[2].chunk.split()) == 30
 
 
 def test_multimodal_fake_features_deterministic():

@@ -498,3 +498,105 @@ def test_domain_filter_equals_reference(spark):
                                  blocked_domains=blocked).alias("ok")).collect()
         for row in got:
             assert row.ok == ref.apply(row.url), (allowed, blocked, row.url)
+
+
+# ---------------------------------------------------------------------------
+# Chunking strategies vs the lifted reference classes (chunking_strategy.py
+# imports model_loader -> torch, so classes lift by AST)
+# ---------------------------------------------------------------------------
+
+def _lift_chunkers(*names):
+    src = open(f"{REF}/chunking_strategy.py").read()
+    tree = ast.parse(src)
+    wanted = [n for n in tree.body
+              if isinstance(n, ast.ClassDef) and n.name in names]
+    assert {w.name for w in wanted} == set(names)
+    import re
+    import string
+    from abc import ABC, abstractmethod
+    from collections import Counter
+
+    ns = {"re": re, "string": string, "ABC": ABC,
+          "abstractmethod": abstractmethod, "Counter": Counter}
+    exec(compile(ast.Module(body=wanted, type_ignores=[]),
+                 "<reference-chunkers>", "exec"), ns)
+    return [ns[n] for n in names]
+
+
+_CHUNK_TEXTS = [
+    " ".join(f"w{i:02d}" for i in range(12)),
+    " ".join(f"w{i:02d}" for i in range(25)),
+    "short doc",
+    "one",
+    "exactly five words are right here"[:-5] + "here",
+    "para one line a\n\npara two line b\n\nlast",
+]
+
+
+def test_fixed_word_chunking_equals_reference(spark):
+    from crawl4ai_spark.ops.text import chunk_fixed_words
+
+    (_, RefFixed) = _lift_chunkers("ChunkingStrategy",
+                                   "FixedLengthWordChunking")
+    for size in (3, 5, 100):
+        ref = RefFixed(chunk_size=size)
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(_CHUNK_TEXTS)], "i int, text string")
+        got = chunk_fixed_words(df, "text", size).orderBy("i", "chunk_id") \
+            .collect()
+        by_doc = {}
+        for r in got:
+            by_doc.setdefault(r.i, []).append(r.chunk)
+        for i, t in enumerate(_CHUNK_TEXTS):
+            assert by_doc[i] == ref.chunk(t), (size, t)
+
+
+def test_sliding_window_chunking_equals_reference(spark):
+    from crawl4ai_spark.ops.text import chunk_sliding_window
+
+    (_, RefSlide) = _lift_chunkers("ChunkingStrategy", "SlidingWindowChunking")
+    for window, step in ((5, 3), (10, 10), (4, 1)):
+        ref = RefSlide(window_size=window, step=step)
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(_CHUNK_TEXTS)], "i int, text string")
+        got = chunk_sliding_window(df, "text", window, step) \
+            .orderBy("i", "chunk_id").collect()
+        by_doc = {}
+        for r in got:
+            by_doc.setdefault(r.i, []).append(r.chunk)
+        for i, t in enumerate(_CHUNK_TEXTS):
+            assert by_doc[i] == ref.chunk(t), (window, step, t)
+
+
+def test_overlapping_window_chunking_equals_reference(spark):
+    from crawl4ai_spark.ops.text import chunk_overlapping
+
+    (_, RefOv) = _lift_chunkers("ChunkingStrategy", "OverlappingWindowChunking")
+    for window, overlap in ((5, 2), (10, 4), (6, 0)):
+        ref = RefOv(window_size=window, overlap=overlap)
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(_CHUNK_TEXTS)], "i int, text string")
+        got = chunk_overlapping(df, "text", window, overlap) \
+            .orderBy("i", "chunk_id").collect()
+        by_doc = {}
+        for r in got:
+            by_doc.setdefault(r.i, []).append(r.chunk)
+        for i, t in enumerate(_CHUNK_TEXTS):
+            assert by_doc[i] == ref.chunk(t), (window, overlap, t)
+
+
+def test_regex_chunking_equals_reference(spark):
+    from crawl4ai_spark.ops.text import chunk_regex
+
+    (_, RefRx) = _lift_chunkers("ChunkingStrategy", "RegexChunking")
+    for pats in ([r"\n\n"], [r"\n\n", r" a "]):
+        ref = RefRx(patterns=list(pats))
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(_CHUNK_TEXTS)], "i int, text string")
+        got = chunk_regex(df, "text", list(pats)).orderBy("i", "chunk_id") \
+            .collect()
+        by_doc = {}
+        for r in got:
+            by_doc.setdefault(r.i, []).append(r.chunk)
+        for i, t in enumerate(_CHUNK_TEXTS):
+            assert by_doc[i] == ref.chunk(t), (pats, t)
