@@ -600,3 +600,49 @@ def test_regex_chunking_equals_reference(spark):
             by_doc.setdefault(r.i, []).append(r.chunk)
         for i, t in enumerate(_CHUNK_TEXTS):
             assert by_doc[i] == ref.chunk(t), (pats, t)
+
+
+# ---------------------------------------------------------------------------
+# sanitize_input_encode vs the lifted reference function
+# ---------------------------------------------------------------------------
+
+def test_sanitize_input_encode_equals_reference():
+    (ref_fn,) = _lift_utils_functions("sanitize_input_encode")
+    from crawl4ai_spark.functions.sanitize import sanitize_input_encode
+
+    battery = [
+        "", None, "plain ascii", "unicode é中文",
+        "surrogate-free \U0001F600 emoji",
+        "lone surrogate \ud800 mid-string",
+        "control \x00 bytes \x1b here",
+    ]
+    for s in battery:
+        try:
+            expected = ref_fn(s)
+        except Exception as e:  # reference raising IS the contract too
+            with pytest.raises(type(e)):
+                sanitize_input_encode(s)
+            continue
+        assert sanitize_input_encode(s) == expected, repr(s)
+
+
+# ---------------------------------------------------------------------------
+# Regex built-in catalog vs the reference's DEFAULT_PATTERNS literal
+# ---------------------------------------------------------------------------
+
+def test_regex_catalog_equals_reference():
+    src = open(f"{REF}/extraction_strategy.py").read()
+    tree = ast.parse(src)
+    ref_patterns = None
+    for n in tree.body:
+        if isinstance(n, ast.ClassDef) and n.name == "RegexExtractionStrategy":
+            for stmt in n.body:
+                if (isinstance(stmt, ast.AnnAssign)
+                        and getattr(stmt.target, "id", "")
+                        == "DEFAULT_PATTERNS"):
+                    ref_patterns = ast.literal_eval(stmt.value)
+    assert ref_patterns is not None
+    from crawl4ai_spark.ops.text import REGEX_CATALOG
+
+    # all 21 built-ins, string-identical to the reference literal
+    assert REGEX_CATALOG == ref_patterns
