@@ -265,7 +265,7 @@ def merge_chunks_tokens(df: DataFrame, text_col: str, target_size: int,
     from pyspark.sql import Window
 
     toks = df.select(
-        F.col(order_col), tokens(text_col).alias("__toks")
+        F.col(order_col), _ws_tokens(text_col).alias("__toks")
     ).withColumn("__cnt", F.size("__toks")).where(F.col("__cnt") > 0)
     w = Window.orderBy(order_col).rowsBetween(Window.unboundedPreceding, -1)
     wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)

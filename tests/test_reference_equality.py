@@ -646,3 +646,24 @@ def test_regex_catalog_equals_reference():
 
     # all 21 built-ins, string-identical to the reference literal
     assert REGEX_CATALOG == ref_patterns
+
+
+def test_merge_chunks_tokens_dataframe_op_equals_reference(spark):
+    """The DataFrame-side token-bounded merge (ops/text.py
+    merge_chunks_tokens) vs the lifted reference merge_chunks at its
+    overlap=0/ratio=1 operating point, including multi-whitespace
+    docs (the op tokenizes with str.split() semantics like the
+    reference, not the single-space oracle tokenizer)."""
+    (ref_merge,) = _lift_utils_functions("merge_chunks")
+    from crawl4ai_spark.ops.text import merge_chunks_tokens
+
+    docs = [" ".join(f"w{i}" for i in range(17)),
+            "", "a  b\n\nc d",      # empty doc skipped; whitespace runs
+            " ".join(f"t{i}" for i in range(9))]
+    for target in (5, 8, 100):
+        expected = ref_merge(docs, target, overlap=0, word_token_ratio=1.0)
+        df = spark.createDataFrame(
+            [(i, d) for i, d in enumerate(docs)], "doc_id int, text string")
+        got = merge_chunks_tokens(df, "text", target) \
+            .orderBy("chunk_id").collect()
+        assert [r.chunk for r in got] == expected, target
