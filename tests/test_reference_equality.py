@@ -667,3 +667,58 @@ def test_merge_chunks_tokens_dataframe_op_equals_reference(spark):
         got = merge_chunks_tokens(df, "text", target) \
             .orderBy("chunk_id").collect()
         assert [r.chunk for r in got] == expected, target
+
+
+# ---------------------------------------------------------------------------
+# Link intrinsic score vs the lifted reference function
+# ---------------------------------------------------------------------------
+
+def test_link_intrinsic_score_equals_reference(spark):
+    """calculate_link_intrinsic_score (utils.py:3143-3255) is pure —
+    lift it and compare the Column twin on a battery spanning every
+    rubric branch. The twin's ONE documented deviation (the page-
+    context keyword-overlap x2 term lives in the contextual path, not
+    the intrinsic column — VERDICT r2+ partial) is pinned explicitly:
+    with an empty page context the two must be EQUAL; with keywords,
+    reference == twin + 2 * overlap_ratio (clamped)."""
+    (ref_fn,) = _lift_utils_functions("calculate_link_intrinsic_score")
+    from crawl4ai_spark.functions.linkscore import link_intrinsic_score
+
+    rows = [
+        # (text, url, title, class, rel)
+        ("Read the guide", "https://e.com/docs/guide", "Guide to things",
+         "nav-main", ""),
+        ("click here", "https://e.com/click/track/x?a=1", "", "ad banner", ""),
+        ("API reference manual here", "https://e.com/api/v2/reference",
+         "t" * 10, "menu", "canonical"),
+        ("x", "http://e.com/a/b/c/d/e/f/g/h", "", "", "nofollow"),
+        ("two words", "https://e.com/blog/post", "ok", "sidebar", "sponsored"),
+        ("", "https://e.com/", None, None, None),
+        ("more info", "https://e.com/admin/panel", "tt", "footer", "ugc"),
+        ("a much longer anchor text with many words present",
+         "https://e.com/tutorial/intro", "tiny", "breadcrumb", "next"),
+    ]
+    df = spark.createDataFrame(
+        rows, "text string, url string, title string, cls string, rel string")
+    got = df.select(
+        "*", link_intrinsic_score("text", "url", "title", "cls", "rel")
+        .alias("s")).collect()
+    for r in got:
+        expected = ref_fn(r.text or "", r.url, r.title or "", r.cls or "",
+                          r.rel or "", {})
+        assert r.s == pytest.approx(expected, abs=1e-9), (r.url, r.s, expected)
+
+    # the factored-out context term (utils.py:3230-3240): reference
+    # adds 2 * overlap/min(|link_words|, 10) when page terms intersect
+    # the punctuation-stripped >2-char link words; the twin keeps the
+    # intrinsic column equal to the NO-CONTEXT reference value and the
+    # engine carries relevance in the contextual path instead
+    ctx = {"terms": {"guide", "things"}}
+    text, url, title, cls, rel = rows[0]
+    with_ctx = ref_fn(text, url, title, cls, rel, ctx)
+    without = ref_fn(text, url, title, cls, rel, {})
+    link_words = {w.strip('.,!?;:"()[]{}').lower() for w in text.split()
+                  if len(w.strip('.,!?;:"()[]{}')) > 2}
+    overlap = len(link_words & ctx["terms"])
+    ratio = overlap / min(len(link_words), 10)
+    assert with_ctx == pytest.approx(min(10.0, without + 2 * ratio), abs=1e-9)
