@@ -2501,6 +2501,9 @@ _TAIL = [
     # round-5 additions past the window (family repped in-window by
     # pdf_extract; verified by the local dual-scale sweeps)
     "pdf_images",
+    # round-5: context-EXACT intrinsic (x2 overlap + docs-site bonus;
+    # family repped in-window by link_scores)
+    "link_scores_ctx",
     # round-5 rotations out (driver-green r4)
     "url_seo", "crawl_citations", "bpe_tokens",
     "dedup_lines", "dedup_incremental", "adaptive_embedding_confidence",
@@ -2669,6 +2672,115 @@ def link_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             total_link_score(intrinsic, contextual, True, True), 6
         ).alias("total"),
+    )
+
+
+# context-EXACT intrinsic: the x2 term-overlap section (utils.py:
+# 3231-3240) + docs-site keyword bonus (utils.py:3243-3249), both
+# pre-clamp. Tokenization = word.strip('.,!?;:"()[]{}').lower(), len>2,
+# as a distinct list on both sides (tests/test_reference_equality.py
+# byte-compares the Column twin against the lifted reference function).
+_TERMSET_SQL = (
+    "list_distinct(list_filter(list_transform("
+    "regexp_split_to_array(trim({src}), '\\s+'), "
+    "w -> lower(regexp_replace(w, "
+    "'^[.,!?;:\"()\\[\\]{{}}]+|[.,!?;:\"()\\[\\]{{}}]+$', '', 'g'))), "
+    "w -> length(w) > 2))"
+)
+
+_LINKSCORE_CTX_ORACLE = f"""
+WITH docs AS ({_DOCS_I}),
+l AS (
+  SELECT i,
+    trim(substr(text, 1, CAST(i % 29 AS INT))) AS lt,
+    (CASE WHEN i % 2 = 0 THEN 'https://s.example.com' ELSE 'http://s.example.com' END ||
+     CASE CAST(i % 4 AS INT) WHEN 0 THEN '/docs/' WHEN 1 THEN '/admin/' WHEN 2 THEN '/blog/' ELSE '/x/' END ||
+     repeat('p/', CAST(i % 7 AS INT)) || CAST(i AS VARCHAR)) AS url,
+    CASE WHEN i % 3 = 0 THEN source ELSE '' END AS title,
+    CASE WHEN i % 5 = 0 THEN 'nav-item' ELSE 'content ad-box' END AS cls,
+    CASE WHEN i % 7 = 0 THEN 'nofollow' ELSE '' END AS rel,
+    'Doc ' || CAST(i AS VARCHAR) || ' ' || source || ' ' ||
+      substr(text, 1, 80) || ' ' || source AS pctx,
+    CASE CAST(i % 3 AS INT)
+      WHEN 0 THEN 'https://docs.example.com/d'
+      WHEN 1 THEN 'https://api.shop.example/d'
+      ELSE 'https://www.example.com/d' END AS purl
+  FROM docs
+),
+t AS (
+  SELECT i, lt, url, title, cls, rel,
+    {_TERMSET_SQL.format(src="lower(pctx)")} AS terms,
+    {_TERMSET_SQL.format(src="lt")} AS lw,
+    (contains(lower(regexp_extract(purl, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)), 'docs.')
+     OR contains(lower(regexp_extract(purl, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)), 'api.')
+     OR contains(lower(regexp_extract(purl, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)), 'developer.')
+     OR contains(lower(regexp_extract(purl, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)), 'reference.')) AS is_docs
+  FROM l
+),
+s AS (
+  SELECT i, {_intrinsic_raw_sql()}
+    + CASE WHEN len(terms) > 0 AND length(lt) > 0 AND len(lw) > 0
+             AND len(list_filter(lw, x -> list_contains(terms, x))) > 0
+        THEN 2.0 * len(list_filter(lw, x -> list_contains(terms, x)))
+             / least(len(lw), 10) ELSE 0.0 END
+    + CASE WHEN is_docs AND length(lt) > 0
+             AND (contains(lower(lt), 'api') OR contains(lower(lt), 'reference')
+              OR contains(lower(lt), 'guide') OR contains(lower(lt), 'tutorial')
+              OR contains(lower(lt), 'example')) THEN 1.0 ELSE 0.0 END
+    AS raw
+  FROM t
+)
+SELECT i AS doc_id,
+  CAST(ROUND(greatest(0.0, least(raw, 10.0)), 6) AS DOUBLE) AS intrinsic_ctx
+FROM s
+"""
+
+
+@register("link_scores_ctx", _LINKSCORE_CTX_ORACLE)
+def link_scores_ctx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-EXACT link intrinsic scoring: calculate_link_intrinsic_
+    score with a real page_context (utils.py:3098-3141 + 3143-3255),
+    page terms from the page's own title/headline slice so the overlap
+    section actually fires, docs-site domains on a third of the rows so
+    the keyword bonus fires. Page context rides the row (at crawl scale
+    it is a per-page broadcastable struct); scoring stays a pure
+    projection — no UDF, no shuffle."""
+    from crawl4ai_spark.functions.linkscore import (
+        link_intrinsic_score,
+        page_context_terms,
+        page_is_docs_site,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    link_text = F.trim(F.expr("substring(text, 1, cast(doc_id % 29 as int))"))
+    url = F.concat(
+        F.when(i % 2 == 0, F.lit("https://s.example.com")).otherwise(
+            F.lit("http://s.example.com")),
+        F.element_at(
+            F.array(F.lit("/docs/"), F.lit("/admin/"), F.lit("/blog/"), F.lit("/x/")),
+            (i % 4).cast("int") + 1,
+        ),
+        F.repeat(F.lit("p/"), (i % 7).cast("int")),
+        i.cast("string"),
+    )
+    title = F.when(i % 3 == 0, F.col("source")).otherwise(F.lit(""))
+    cls = F.when(i % 5 == 0, F.lit("nav-item")).otherwise(F.lit("content ad-box"))
+    rel = F.when(i % 7 == 0, F.lit("nofollow")).otherwise(F.lit(""))
+    ptitle = F.concat(F.lit("Doc "), i.cast("string"), F.lit(" "), F.col("source"))
+    pheads = F.expr("substring(text, 1, 80)")
+    purl = (
+        F.when(i % 3 == 0, F.lit("https://docs.example.com/d"))
+        .when(i % 3 == 1, F.lit("https://api.shop.example/d"))
+        .otherwise(F.lit("https://www.example.com/d"))
+    )
+    intrinsic = link_intrinsic_score(
+        link_text, url, title, cls, rel,
+        page_terms=page_context_terms(ptitle, pheads, F.col("source")),
+        is_docs_site=page_is_docs_site(purl),
+    )
+    return docs.select(
+        i.alias("doc_id"), F.round(intrinsic, 6).alias("intrinsic_ctx")
     )
 
 

@@ -722,3 +722,120 @@ def test_link_intrinsic_score_equals_reference(spark):
     overlap = len(link_words & ctx["terms"])
     ratio = overlap / min(len(link_words), 10)
     assert with_ctx == pytest.approx(min(10.0, without + 2 * ratio), abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Page-context extraction + context-EXACT intrinsic + total score
+# ---------------------------------------------------------------------------
+
+_CTX_PAGES = [
+    # (title, headlines, meta, base_url)
+    ("Guide to Things", "Getting Started\nAdvanced Topics",
+     "A guide covering many things.", "https://docs.example.com/guide"),
+    ("API Overview", "Endpoints, auth, & rate limits!",
+     None, "https://api.example.com/v2/"),
+    (None, None, None, "https://www.example.com/"),
+    ("short a b", "", "cd ef", "http://developer.test.org:8080/x"),
+    ("Punct-heavy: {braces} (parens) [brackets]!!", "q.e.d., sure;",
+     '"quoted" terms, here:', "https://reference.site.io/r"),
+    ("Mixed CASE Words", "REPEATED repeated Repeated",
+     "the and for", "ftp://docs.weird.example/z"),
+    ("", "   ", "", "not-a-url"),
+]
+
+_CTX_LINKS = [
+    ("Read the guide", "https://e.com/docs/guide", "Guide to things",
+     "nav-main", ""),
+    ("click here", "https://e.com/click/track/x?a=1", "", "ad banner", ""),
+    ("API reference manual here", "https://e.com/api/v2/reference",
+     "t" * 10, "menu", "canonical"),
+    ("x", "http://e.com/a/b/c/d/e/f/g/h", "", "", "nofollow"),
+    ("getting started topics", "https://e.com/blog/post", "ok",
+     "sidebar", "sponsored"),
+    ("", "https://e.com/", None, None, None),
+    ("endpoints auth rate limits tutorial example",
+     "https://e.com/admin/panel", "tt", "footer", "ugc"),
+    ("things, guide! (covering)", "https://e.com/tutorial/intro",
+     "tiny", "breadcrumb", "next"),
+    ("the and for", "https://e.com/p", "", "", ""),
+]
+
+
+def test_page_context_terms_equal_reference(spark):
+    """extract_page_context (utils.py:3098-3141) term set + docs-site
+    flag vs the page_context_terms / page_is_docs_site columns."""
+    (ref_ctx,) = _lift_utils_functions("extract_page_context")
+    from crawl4ai_spark.functions.linkscore import (
+        page_context_terms, page_is_docs_site)
+
+    df = spark.createDataFrame(
+        _CTX_PAGES, "title string, heads string, meta string, url string")
+    got = df.select(
+        "url",
+        page_context_terms("title", "heads", "meta").alias("terms"),
+        page_is_docs_site("url").alias("docs"),
+    ).collect()
+    by_url = {r.url: r for r in got}
+    for title, heads, meta, url in _CTX_PAGES:
+        ref = ref_ctx(title or "", heads or "", meta or "", url)
+        r = by_url[url]
+        assert sorted(r.terms) == sorted(ref["terms"]), url
+        assert r.docs == ref["is_docs_site"], url
+
+
+def test_link_intrinsic_context_exact_equals_reference(spark):
+    """The context-EXACT intrinsic column (page_terms + is_docs_site
+    supplied) vs calculate_link_intrinsic_score with every reference
+    page_context, covering the x2 overlap term, the docs-site keyword
+    bonus, and the shared pre-clamp."""
+    ref_ctx, ref_fn = _lift_utils_functions(
+        "extract_page_context", "calculate_link_intrinsic_score")
+    from crawl4ai_spark.functions.linkscore import (
+        link_intrinsic_score, page_context_terms, page_is_docs_site)
+
+    rows = [link + page for link in _CTX_LINKS for page in _CTX_PAGES]
+    df = spark.createDataFrame(
+        rows, "text string, url string, title string, cls string, "
+              "rel string, ptitle string, pheads string, pmeta string, "
+              "purl string")
+    got = df.select(
+        "*",
+        link_intrinsic_score(
+            "text", "url", "title", "cls", "rel",
+            page_terms=page_context_terms("ptitle", "pheads", "pmeta"),
+            is_docs_site=page_is_docs_site("purl"),
+        ).alias("s"),
+    ).collect()
+    assert len(got) == len(rows)
+    for r in got:
+        ctx = ref_ctx(r.ptitle or "", r.pheads or "", r.pmeta or "", r.purl)
+        expected = ref_fn(r.text or "", r.url, r.title or "", r.cls or "",
+                          r.rel or "", ctx)
+        assert r.s == pytest.approx(expected, abs=1e-9), \
+            (r.text, r.url, r.purl, r.s, expected)
+
+
+def test_total_link_score_equals_reference(spark):
+    """calculate_total_score (utils.py:3258-3303) vs total_link_score
+    over every branch: scoring off, intrinsic-only (no query / null
+    contextual), both-present weighting, None coalescing, clamps."""
+    (ref_fn,) = _lift_utils_functions("calculate_total_score")
+    from crawl4ai_spark.functions.linkscore import total_link_score
+    from pyspark.sql import functions as F
+
+    cases = [
+        (None, None), (None, 0.4), (3.25, None), (3.25, 0.4),
+        (12.0, 1.7), (-2.0, 0.0), (9.0, 0.99), (0.0, None), (10.0, 1.0),
+    ]
+    df = spark.createDataFrame(cases, "i double, c double")
+    for enabled in (False, True):
+        for query in (False, True):
+            got = df.select(
+                "i", "c",
+                total_link_score(F.col("i"), F.col("c"), enabled, query)
+                .alias("t"),
+            ).collect()
+            for r in got:
+                expected = ref_fn(r.i, r.c, enabled, query)
+                assert r.t == pytest.approx(expected, abs=1e-12), \
+                    (r.i, r.c, enabled, query, r.t, expected)
