@@ -111,6 +111,28 @@ class HttpFetcher:
             import urllib.request
             from concurrent.futures import ThreadPoolExecutor
 
+            def decode(body: bytes, headers) -> str:
+                # the reference's charset ladder (async_crawler_strategy
+                # .py:2330-2336): response charset from the Content-Type
+                # header, else chardet detection (import-gated — absent
+                # in this container), else utf-8; errors='replace'
+                enc = None
+                try:
+                    enc = headers.get_content_charset()
+                except Exception:
+                    pass
+                if not enc:
+                    try:
+                        import chardet
+
+                        enc = chardet.detect(body)["encoding"]
+                    except Exception:
+                        enc = None
+                try:
+                    return body.decode(enc or "utf-8", errors="replace")
+                except LookupError:  # unknown charset token in the header
+                    return body.decode("utf-8", errors="replace")
+
             def one(u: str):
                 t0 = time.monotonic()
                 target = rewrite(u) if rewrite is not None else u
@@ -120,13 +142,13 @@ class HttpFetcher:
                     )
                     with urllib.request.urlopen(req, timeout=timeout) as resp:
                         body = resp.read(8 * 1024 * 1024)
-                        html, status = body.decode("utf-8", errors="replace"), int(resp.status)
+                        html, status = decode(body, resp.headers), int(resp.status)
                 except urllib.error.HTTPError as e:
                     try:
                         body = e.read(8 * 1024 * 1024)
                     except Exception:
                         body = b""
-                    html, status = body.decode("utf-8", errors="replace"), int(e.code)
+                    html, status = decode(body, e.headers), int(e.code)
                 except Exception:
                     html, status = "", 0
                 return html, status, int((time.monotonic() - t0) * 1000)

@@ -107,3 +107,57 @@ def test_serial_and_concurrent_results_identical(spark, server):
         )
 
     assert rows(1) == rows(16)
+
+
+def test_http_fetcher_honors_response_charset(spark):
+    """The reference decodes with response.charset from the Content-Type
+    header, utf-8 as the last resort, errors='replace' (async_crawler_
+    strategy.py:2330-2336). Serve the same accented text as latin-1
+    (with charset), utf-8 (with charset), and charset-less utf-8 — all
+    three rows must decode to the identical string."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    text = "café über façade ÷ naïve résumé"
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            if self.path == "/latin1":
+                body, ct = text.encode("latin-1"), \
+                    "text/html; charset=iso-8859-1"
+            elif self.path == "/utf8":
+                body, ct = text.encode("utf-8"), "text/html; charset=utf-8"
+            elif self.path == "/nocharset":
+                body, ct = text.encode("utf-8"), "text/html"
+            elif self.path == "/badcharset":
+                body, ct = text.encode("utf-8"), \
+                    "text/html; charset=not-a-codec"
+            else:
+                body, ct = b"", "text/html"
+            self.send_response(200 if body else 404)
+            self.send_header("Content-Type", ct)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        frontier = spark.createDataFrame(
+            [(f"http://127.0.0.1:{port}/{p}",)
+             for p in ("latin1", "utf8", "nocharset", "badcharset")],
+            "url_norm string",
+        )
+        rows = HttpFetcher(timeout_s=10).fetch(frontier).collect()
+        assert all(r.status_code == 200 for r in rows)
+        for r in rows:
+            assert r.html == text, (r.url_norm, r.html)
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
