@@ -147,6 +147,17 @@ class CrawlConfig:
     # config dicts with optional url_matcher globs; first match wins,
     # unmatched URLs are skipped. Pages carry the winning config_id.
     url_configs: Optional[list] = None
+    # memory-adaptive intake gate (MemoryAdaptiveDispatcher,
+    # async_dispatcher.py:148-216 via engine/dispatcher.MemoryGate):
+    # dict with optional memory_threshold / critical_threshold /
+    # recovery_threshold / wait_timeout_rounds / provider (a callable
+    # spark -> percent; default reads driver-JVM heap). Under PRESSURE
+    # the round's intake pauses (global budget 0 — every frontier row
+    # defers with wait_rounds+1, so fairness stays honest); a sustained
+    # >=threshold run past wait_timeout_rounds raises MemoryError like
+    # the reference monitor. None = off. Gate state is ephemeral by
+    # design: a resumed job re-derives it from fresh observations.
+    memory_adaptive: Optional[dict] = None
     # adaptive stopping (AdaptiveCrawler.digest, adaptive_crawler.py:
     # 1325-1349 + should_stop :505-523): dict with `query_terms` plus
     # optional confidence_threshold (0.7), saturation_threshold (0.8),
@@ -255,6 +266,24 @@ class CrawlEngine:
         self._adaptive_last_round = -1
         self._frontier_count: int | None = None  # from last write's Observation
         self._scratch: list[DataFrame] = []      # persisted intermediates
+        self.memory_gate = None
+        if self.cfg.memory_adaptive is not None:
+            from crawl4ai_spark.engine.dispatcher import (
+                CRITICAL_THRESHOLD, MEMORY_THRESHOLD, MemoryGate,
+                RECOVERY_THRESHOLD,
+            )
+
+            ma = self.cfg.memory_adaptive
+            self.memory_gate = MemoryGate(
+                provider=ma.get("provider"),
+                memory_threshold=ma.get("memory_threshold",
+                                        MEMORY_THRESHOLD),
+                critical_threshold=ma.get("critical_threshold",
+                                          CRITICAL_THRESHOLD),
+                recovery_threshold=ma.get("recovery_threshold",
+                                          RECOVERY_THRESHOLD),
+                wait_timeout_rounds=ma.get("wait_timeout_rounds"),
+            )
 
     # ------------------------------------------------------------------
     def _to_state(self, df: DataFrame, rnd: int | None = None) -> DataFrame:
@@ -559,6 +588,13 @@ class CrawlEngine:
             global_budget = cfg.batch_size
             if cfg.max_pages is not None:
                 global_budget = min(global_budget, max(0, cfg.max_pages - crawled_before))
+        # memory-adaptive intake gate: one monitor pass per round; under
+        # PRESSURE this round fetches nothing (all rows defer and keep
+        # their fairness clock running), mirroring the dispatcher's
+        # paused slot-fill (async_dispatcher.py:410-411). Raises
+        # MemoryError on a sustained over-threshold run.
+        if self.memory_gate is not None and self.memory_gate.check(self.spark, rnd):
+            global_budget = 0
         marked = select_fetch_batch(
             live,
             host_state,

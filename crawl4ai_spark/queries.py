@@ -2489,8 +2489,12 @@ _WINDOW = [
     "multimodal_features", "multimodal_decode",
     # PDF + LLM pipeline families (round-5 second rotation)
     "pdf_extract", "llm_extract", "llm_filter",
-    # corpus quality / curation (full Gopher rule set in for round 5)
-    "quality_gopher", "quality_gopher_rules", "decontaminate", "pii_redact",
+    # corpus quality / curation (full Gopher rule set in for round 5;
+    # quality_gopher driver-green r4 -> tail for the dispatcher slot)
+    "quality_gopher_rules", "decontaminate", "pii_redact",
+    # MemoryAdaptiveDispatcher twin (round 5 — the last implementable
+    # SURVEY §2.5 non-goal: monitor hysteresis + priority intake fold)
+    "dispatch_memory_adaptive",
     # adaptive crawling
     "adaptive_confidence",
     # BM25
@@ -2501,6 +2505,11 @@ _TAIL = [
     # round-5 additions past the window (family repped in-window by
     # pdf_extract; verified by the local dual-scale sweeps)
     "pdf_images",
+    # dispatcher monitor state machine (family repped in-window by
+    # dispatch_memory_adaptive, which composes it)
+    "dispatch_memory_states",
+    # rotated out for the dispatcher window slot (driver-green r4)
+    "quality_gopher",
     # round-5: context-EXACT intrinsic (x2 overlap + docs-site bonus;
     # family repped in-window by link_scores)
     "link_scores_ctx",
@@ -5386,3 +5395,230 @@ def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(
         _t(spark, sf_dir, "documents"), capacity=_PACK_CAPACITY
     )
+
+
+# -- MemoryAdaptiveDispatcher twin (async_dispatcher.py:148-470) --------------
+#
+# The monitor state machine is pure window functions (hysteresis =
+# last(enter/exit event), run clock = last-below-threshold window); the
+# scheduler loop is a per-job fold. The oracle replays the monitor with
+# the same windows and the scheduler tick-by-tick with a recursive CTE.
+
+_N_DJOBS = 6          # dispatcher jobs folding in parallel
+_DTICKS = 24          # monitor intervals simulated
+_DPERMIT = 4          # max_session_permit (scaled to the tiny corpus)
+_DFAIR = 5            # fairness_timeout in ticks (ref: 600 s)
+_DTIMEOUT = 6         # memory_wait_timeout in ticks (ref: 600 s)
+
+# per-job memory patterns: j%4==0 calm; j%4==1 a sub-interval spike to
+# CRITICAL (the slot-filled-under-stale-state requeue path) then a
+# pressure run and recovery; j%4==2 a walk through the hysteresis band
+# (88..86 keeps PRESSURE, 84 releases); j%4==3 a sustained run that
+# trips the memory_wait_timeout abort.
+_DMEM_SQL = """
+      CAST(CASE job_id % 4
+        WHEN 1 THEN CASE WHEN tick = 3 THEN 96
+                         WHEN tick IN (4, 5) THEN 91
+                         WHEN tick = 6 THEN 84 ELSE 50 END
+        WHEN 2 THEN CASE WHEN tick = 1 THEN 91
+                         WHEN tick BETWEEN 2 AND 4 THEN 90 - tick
+                         WHEN tick = 5 THEN 84 ELSE 50 END
+        WHEN 3 THEN CASE WHEN tick BETWEEN 2 AND 20 THEN 92 ELSE 50 END
+        ELSE 50 END AS DOUBLE)
+"""
+
+_DISPATCH_ORACLE = f"""
+WITH RECURSIVE
+docs AS ({_DOCS_I}),
+tl AS (
+  SELECT CAST(j.job_id AS INT) AS job_id, CAST(t.tick AS INT) AS tick,
+         {_DMEM_SQL} AS mem
+  FROM (SELECT UNNEST(RANGE({_N_DJOBS})) AS job_id) j,
+       (SELECT UNNEST(RANGE({_DTICKS})) AS tick) t
+),
+mem AS (
+  SELECT job_id, tick, mem,
+    COALESCE(LAST_VALUE(CASE WHEN mem >= 90 THEN TRUE
+             WHEN mem <= 85 THEN FALSE END IGNORE NULLS) OVER w,
+             FALSE) AS pressure,
+    CASE WHEN mem >= 90
+         THEN tick - COALESCE(LAST_VALUE(CASE WHEN mem < 90 THEN tick END
+                              IGNORE NULLS) OVER w, -1) - 1
+         ELSE 0 END AS run_ticks
+  FROM tl
+  WINDOW w AS (PARTITION BY job_id ORDER BY tick
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+mem2 AS (
+  SELECT job_id, tick, mem >= 95 AS critical,
+    COALESCE(LAG(pressure) OVER (PARTITION BY job_id ORDER BY tick),
+             FALSE) AS pressure_prev,
+    (mem >= 90 AND run_ticks > 0 AND run_ticks >= {_DTIMEOUT}) AS abort
+  FROM mem
+),
+ab AS (
+  SELECT job_id, MIN(CASE WHEN abort THEN tick END) AS abort_tick
+  FROM mem2 GROUP BY job_id
+),
+tasks AS (
+  SELECT CAST(i % {_N_DJOBS} AS INT) AS job_id, i AS task_id,
+         {_url_sql('i')} AS url,
+         CAST((i // {_N_DJOBS}) % 3 AS INT) AS enq0,
+         CAST(1 + i % 3 AS INT) AS service
+  FROM docs
+),
+st AS (
+  SELECT job_id, task_id, url, enq0, service, 0 AS tick,
+         0 AS retry, enq0 AS enq,
+         CAST(NULL AS INTEGER) AS fdisp, CAST(NULL AS INTEGER) AS start_t,
+         CAST(NULL AS INTEGER) AS end_t, FALSE AS aborted
+  FROM tasks
+  UNION ALL
+  SELECT job_id, task_id, url, enq0, service, tick + 1,
+    CASE WHEN sel AND critical THEN retry + 1 ELSE retry END,
+    CASE WHEN sel AND critical THEN tick ELSE enq END,
+    CASE WHEN sel THEN COALESCE(fdisp, tick) ELSE fdisp END,
+    CASE WHEN sel AND NOT critical THEN tick ELSE start_t END,
+    CASE WHEN marking AND (end_t IS NULL OR end_t >= tick) THEN NULL
+         WHEN sel AND NOT critical THEN tick + service - 1
+         ELSE end_t END,
+    CASE WHEN marking AND (end_t IS NULL OR end_t >= tick) THEN TRUE
+         ELSE aborted END
+  FROM (
+    SELECT s.*, m.critical,
+      (a.abort_tick IS NOT NULL AND s.tick = a.abort_tick) AS marking,
+      (s.start_t IS NULL AND s.enq <= s.tick
+       AND NOT m.pressure_prev
+       AND (a.abort_tick IS NULL OR s.tick < a.abort_tick)
+       AND ROW_NUMBER() OVER (
+             PARTITION BY s.job_id
+             ORDER BY CASE WHEN s.start_t IS NULL AND s.enq <= s.tick
+                           THEN 0 ELSE 1 END,
+                      CASE WHEN s.tick - s.enq > {_DFAIR}
+                           THEN -CAST(s.tick - s.enq AS DOUBLE)
+                           ELSE CAST(s.retry AS DOUBLE) END,
+                      s.url)
+           <= GREATEST({_DPERMIT} - COUNT(CASE WHEN s.start_t IS NOT NULL
+                         AND s.end_t >= s.tick THEN 1 END)
+                         OVER (PARTITION BY s.job_id), 0)
+      ) AS sel
+    FROM st s
+    JOIN mem2 m ON m.job_id = s.job_id AND m.tick = s.tick
+    LEFT JOIN ab a ON a.job_id = s.job_id
+    WHERE s.tick < {_DTICKS}
+  )
+)
+SELECT job_id, task_id, url,
+  CASE WHEN aborted THEN 'aborted'
+       WHEN start_t IS NULL THEN 'pending'
+       WHEN end_t IS NOT NULL AND end_t <= {_DTICKS} - 1 THEN 'completed'
+       ELSE 'in_flight' END AS status,
+  fdisp AS first_dispatch_tick, start_t AS start_tick,
+  CASE WHEN NOT aborted AND end_t IS NOT NULL AND end_t <= {_DTICKS} - 1
+       THEN end_t END AS end_tick,
+  retry AS retry_count,
+  CASE WHEN start_t IS NOT NULL THEN start_t - enq0 END AS wait_ticks
+FROM st WHERE tick = {_DTICKS}
+"""
+
+
+@register("dispatch_memory_adaptive", _DISPATCH_ORACLE)
+def dispatch_memory_adaptive_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MemoryAdaptiveDispatcher scheduler loop (async_dispatcher.py:
+    400-458) folded per job: greedy slot fill under max_session_permit,
+    priority-queue order (starvation jump past fairness_timeout, else
+    retry_count, URL tie-break — the reference's heap order), intake
+    paused in PRESSURE mode, critical-at-start requeue with retry+1
+    (:288-317), MemoryError abort after a sustained >=threshold run
+    (:194-198). Six jobs exercise calm / critical-spike / hysteresis-
+    band / abort timelines; the oracle replays the monitor as windows
+    and the loop as a recursive CTE."""
+    from crawl4ai_spark.engine.dispatcher import dispatch_memory_adaptive
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    tasks = docs.select(
+        (i % _N_DJOBS).cast("int").alias("job_id"),
+        i.alias("task_id"),
+        url_expr(i).alias("url"),
+        (F.floor(i / _N_DJOBS) % 3).cast("int").alias("enqueue_tick"),
+        (F.lit(1) + i % 3).cast("int").alias("service_ticks"),
+    )
+    j, t = F.col("job_id"), F.col("tick")
+    mem = (
+        F.when(j % 4 == 1,
+               F.when(t == 3, 96.0).when(t.isin(4, 5), 91.0)
+               .when(t == 6, 84.0).otherwise(50.0))
+        .when(j % 4 == 2,
+              F.when(t == 1, 91.0)
+              .when((t >= 2) & (t <= 4), F.lit(90.0) - t)
+              .when(t == 5, 84.0).otherwise(50.0))
+        .when(j % 4 == 3,
+              F.when((t >= 2) & (t <= 20), 92.0).otherwise(50.0))
+        .otherwise(F.lit(50.0))
+    )
+    timeline = (
+        spark.range(_N_DJOBS).select(F.col("id").cast("int").alias("job_id"))
+        .crossJoin(spark.range(_DTICKS)
+                   .select(F.col("id").cast("int").alias("tick")))
+        .select("job_id", "tick", mem.cast("double").alias("mem_percent"))
+    )
+    return dispatch_memory_adaptive(
+        tasks, timeline, max_session_permit=_DPERMIT,
+        fairness_timeout_ticks=_DFAIR, wait_timeout_ticks=_DTIMEOUT,
+    )
+
+
+_DSTATES_ORACLE = f"""
+WITH docs AS ({_DOCS_I}),
+tl AS (
+  SELECT CAST(i % 8 AS INT) AS job_id, CAST(i // 8 AS INT) AS tick,
+         CAST((i * 131) % 101 AS DOUBLE) AS mem_percent
+  FROM docs
+),
+st AS (
+  SELECT job_id, tick, mem_percent,
+    COALESCE(LAST_VALUE(CASE WHEN mem_percent >= 90 THEN TRUE
+             WHEN mem_percent <= 85 THEN FALSE END IGNORE NULLS) OVER w,
+             FALSE) AS pressure_mode,
+    CASE WHEN mem_percent >= 90
+         THEN tick - COALESCE(LAST_VALUE(CASE WHEN mem_percent < 90
+                              THEN tick END IGNORE NULLS) OVER w,
+                              MIN(tick) OVER wp - 1) - 1
+         ELSE 0 END AS run_ticks
+  FROM tl
+  WINDOW w AS (PARTITION BY job_id ORDER BY tick
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wp AS (PARTITION BY job_id)
+)
+SELECT job_id, tick, mem_percent, pressure_mode, run_ticks,
+  CASE WHEN mem_percent >= 95 THEN 'CRITICAL'
+       WHEN pressure_mode THEN 'PRESSURE' ELSE 'NORMAL' END AS status,
+  (mem_percent >= 90 AND run_ticks > 0 AND run_ticks >= 3) AS abort,
+  COALESCE(MAX(CASE WHEN mem_percent >= 90 AND run_ticks > 0
+               AND run_ticks >= 3 THEN 1 ELSE 0 END) OVER w2 = 1,
+           FALSE) AS aborted
+FROM st
+WINDOW w2 AS (PARTITION BY job_id ORDER BY tick
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("dispatch_memory_states", _DSTATES_ORACLE)
+def dispatch_memory_states_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dispatcher's memory monitor (async_dispatcher.py:176-216) as
+    pure window functions over a pseudo-random percent walk — enter/
+    exit hysteresis with the (recovery, threshold) carry band, the
+    >=threshold run clock that resets on any dip below threshold, the
+    CRITICAL override, and the wait-timeout abort; one timeline per
+    job, eight jobs in parallel."""
+    from crawl4ai_spark.engine.dispatcher import memory_pressure_states
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    tl = docs.select(
+        (i % 8).cast("int").alias("job_id"),
+        F.floor(i / 8).cast("int").alias("tick"),
+        ((i * 131) % 101).cast("double").alias("mem_percent"),
+    )
+    return memory_pressure_states(tl, wait_timeout_ticks=3)
