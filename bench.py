@@ -208,8 +208,10 @@ def main() -> None:
     # it added queries to the total).
     extra = ["dedup_lines", "dedup_spans", "dedup_semantic", "dsir_select",
              "lm_perplexity", "dedup_incremental", "quality_gopher_rules",
-             # round-5 additions (PDF round trip + LLM pipelines)
-             "pdf_extract", "llm_extract", "llm_filter"]
+             # round-5 additions (PDF round trip + LLM pipelines +
+             # the MemoryAdaptiveDispatcher scheduler fold)
+             "pdf_extract", "llm_extract", "llm_filter",
+             "dispatch_memory_adaptive"]
     extra_timings: dict[str, float] = {}
     for names, sink in ((headline, timings), (extra, extra_timings)):
         for name in names:

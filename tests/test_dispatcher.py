@@ -218,3 +218,33 @@ def test_memory_gate_aborts_on_sustained_run(spark, tmp_path):
     with pytest.raises(MemoryError):
         eng.run([SEED])
     assert eng.memory_gate.events[-1]["status"] == "ABORT"
+
+
+# -- reference equality (the campaign pattern) --------------------------------
+
+def test_priority_score_matches_reference():
+    """AST-lift _get_priority_score out of the reference dispatcher
+    (async_dispatcher.py:217-226; the module imports psutil, absent
+    here) and equality-check the twin's priority ordering term over a
+    wait/retry grid."""
+    import ast as _ast
+    import os
+    import types
+
+    ref = "/root/reference/crawl4ai/async_dispatcher.py"
+    if not os.path.exists(ref):
+        pytest.skip("reference repo not available")
+    tree = _ast.parse(open(ref).read())
+    cls = next(n for n in tree.body if isinstance(n, _ast.ClassDef)
+               and n.name == "MemoryAdaptiveDispatcher")
+    fn = next(n for n in cls.body if isinstance(n, _ast.FunctionDef)
+              and n.name == "_get_priority_score")
+    ns: dict = {}
+    exec(compile(_ast.Module(body=[fn], type_ignores=[]),
+                 ref, "exec"), ns)
+    self_ = types.SimpleNamespace(fairness_timeout=600.0)
+    for wait in [0.0, 1.0, 599.0, 600.0, 600.5, 601.0, 10_000.0]:
+        for retry in [0, 1, 2, 5]:
+            want = ns["_get_priority_score"](self_, wait, retry)
+            got = (-wait if wait > 600.0 else float(retry))
+            assert got == want, (wait, retry, got, want)
