@@ -468,6 +468,22 @@ def main():
         fmt(QUERIES["llm_extract"](spark, SF)),
     ))
 
+    # 22. MemoryAdaptiveDispatcher: windows for the monitor, cogroup fold
+    sections.append((
+        "Memory dispatcher: one job-keyed exchange per side, monitor as windows",
+        "The monitor state machine (hysteresis, run clock, abort) is "
+        "window functions over the timeline — ONE hashpartitioning "
+        "exchange on job_id feeding a single Window node, no "
+        "recursion, no python. The scheduler fold is a "
+        "FlatMapCoGroupsInPandas: tasks and monitor states each "
+        "exchange once on job_id and meet in one Arrow stage; there "
+        "is no cross-job state, so the fold's parallelism is the "
+        "number of dispatcher jobs (tools/dispatcher_stress.py "
+        "measures that axis) and a hot job bounds a PARTITION at "
+        "its own task count, never the cluster.",
+        fmt(QUERIES["dispatch_memory_adaptive"](spark, SF)),
+    ))
+
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write(
