@@ -84,12 +84,23 @@ def build_corpus(docs: DataFrame, n_docs: int | None = None) -> DataFrame:
         links_html,
         F.lit("</ul></body></html>"),
     )
-    return docs.select(
+    out = docs.select(
         url_expr(i).alias("url_norm"),
         html.alias("html"),
         F.lit(200).alias("status_code"),
         (F.pmod(i, F.lit(20)) + 1).cast("int").alias("fetch_ms"),
     )
+    # Co-partition + pre-sort on the fetch-join key. A cached corpus is
+    # re-joined every round, and ProjectExec is alias-aware, so the
+    # cached HashPartitioning/ordering satisfies the join's required
+    # distribution through CorpusFetcher's rename: the per-round plan
+    # then shuffles only the ~100 B/row frontier side — the corpus
+    # reads straight from InMemoryTableScan with NO Exchange and NO
+    # Sort (PLANS.md fetch-join section). At archive scale that
+    # per-round corpus shuffle is GB-to-TB of disk-bound, core-count-
+    # blind I/O; this is the bucketing prescription in CorpusFetcher's
+    # docstring (engine/fetch.py), applied at build time.
+    return out.repartition(F.col("url_norm")).sortWithinPartitions("url_norm")
 
 
 def url_of(i: int) -> str:

@@ -468,6 +468,38 @@ def main():
         fmt(QUERIES["llm_extract"](spark, SF)),
     ))
 
+    # 21b. fetch join over a cached co-partitioned corpus: html side
+    # never re-shuffles (round 5)
+    from crawl4ai_spark.corpus.webgen import build_corpus, url_expr
+    from crawl4ai_spark.engine.fetch import CorpusFetcher
+
+    corpus = build_corpus(docs).persist()
+    corpus.count()
+    frontier = docs.select(
+        url_expr(F.col("doc_id").cast("long")).alias("url_norm"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    fetch_df = CorpusFetcher(corpus).fetch(frontier)
+    fetch_df.count()  # through AQE so the final join shape is real
+    fetch_plan = fmt(fetch_df)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bcast)
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_bcast)
+    corpus.unpersist()
+    sections.append((
+        "Fetch join: cached corpus co-partitioned on the join key",
+        "build_corpus repartitions + sorts the corpus on url_norm "
+        "before it is cached, and ProjectExec is alias-aware, so the "
+        "SortMergeJoin takes the corpus STRAIGHT from "
+        "InMemoryTableScan — no Exchange, no Sort on the html side; "
+        "the only per-round exchange is the ~100 B/row frontier. "
+        "Broadcast is disabled here to force the archive-scale shape "
+        "(at test sf the corpus just broadcasts). At 100 TB this is "
+        "the WARC-table bucketing posture: re-crawl rounds co-locate "
+        "with the archive's bucketing and the GB-to-TB html column "
+        "stays off the per-round shuffle path entirely.",
+        fetch_plan,
+    ))
+
     # 22. MemoryAdaptiveDispatcher: windows for the monitor, cogroup fold
     sections.append((
         "Memory dispatcher: one job-keyed exchange per side, monitor as windows",

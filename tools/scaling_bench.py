@@ -51,7 +51,10 @@ def run_once(cores: int, replicas: int, sf_dir: str) -> dict:
         n = docs.count()
         big = replicate_docs(docs, replicas, n_docs=n)
         n_big = n * replicas
-        corpus = build_corpus(big, n_docs=n_big).repartition(64)
+        # build_corpus co-partitions + sorts on url_norm — a round-robin
+        # repartition here would undo it and put the GB-scale html side
+        # back on the per-round shuffle path
+        corpus = build_corpus(big, n_docs=n_big)
         corpus = corpus.persist()
         corpus.count()  # materialize input outside the timed section
 
