@@ -51,8 +51,14 @@ def main():
     import __spark_entry__ as entrymod
     from crawl4ai_spark.session import build_session
 
-    spark = build_session(app_name="oracle-check", master="local[8]",
-                          shuffle_partitions=8)
+    # C4AS_ORACLE_CORES lets a sweep re-run at an adversarial
+    # parallelism (e.g. 5 — odd, non-power-of-two) to prove results
+    # are partitioning-invariant, not an artifact of the default 8
+    import os
+
+    cores = int(os.environ.get("C4AS_ORACLE_CORES", "8"))
+    spark = build_session(app_name="oracle-check", master=f"local[{cores}]",
+                          shuffle_partitions=cores)
 
     con = duckdb.connect()
     for t in TABLES:
