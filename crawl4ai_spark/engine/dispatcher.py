@@ -204,6 +204,12 @@ def _fold_job(tasks: pd.DataFrame, states: pd.DataFrame,
             active = sum(1 for k in ts if k.start is not None
                          and k.end is not None and k.end >= t)
             slots = max_session_permit - active
+            if slots <= 0:
+                # saturated: skip the queue scan+sort entirely — on a
+                # long timeline with thousands queued this is the
+                # fold's dominant cost and selects nothing
+                pressure_prev = pressure_now
+                continue
             queued = [k for k in ts
                       if k.start is None and not k.aborted and k.enq <= t]
 
@@ -213,7 +219,7 @@ def _fold_job(tasks: pd.DataFrame, states: pd.DataFrame,
                     else float(k.retry)
                 return (p, k.url)
 
-            for k in sorted(queued, key=prio)[:max(0, slots)]:
+            for k in sorted(queued, key=prio)[:slots]:
                 if k.fdisp is None:
                     k.fdisp = t
                 if row.status == "CRITICAL":

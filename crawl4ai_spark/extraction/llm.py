@@ -224,10 +224,13 @@ class BackoffClient:
     ``perform_completion_with_backoff`` semantics (utils.py:1741-1808):
     max_attempts tries, delay = base_delay * 2**attempt between them,
     retry ONLY on RateLimitError (other errors propagate), and after
-    exhausting retries return an error RESPONSE rather than raise (the
-    reference returns an error payload; here an empty ragged body the
-    parse ladder turns into one error row — a rate-limited chunk
-    degrades to an error block instead of failing the Spark task).
+    exhausting retries RAISE into the caller's per-chunk catch — the
+    extractor turns it into the reference's error block
+    (extraction_strategy.py:702-710), the filter drops the chunk
+    (content_filter_strategy.py:1034-1041); either way a rate-limited
+    chunk degrades per-chunk instead of failing the Spark task. (An
+    error-payload RETURN would be re-marked error=False by the
+    force-JSON parse rung — the reference's own :679 overwrite.)
 
     ``sleep`` is injectable so executors/tests control the clock."""
 
@@ -241,15 +244,20 @@ class BackoffClient:
         self.sleep = sleep or _time.sleep
 
     def complete(self, prompt: str) -> str:
-        for attempt in range(self.max_attempts):
+        attempts = max(1, self.max_attempts)
+        for attempt in range(attempts):
             try:
                 return self.inner.complete(prompt)
-            except RateLimitError as e:
-                if attempt < self.max_attempts - 1:
+            except RateLimitError:
+                if attempt < attempts - 1:
                     self.sleep(self.base_delay * (2 ** attempt))
                 else:
-                    return json.dumps({"error": True, "tags": ["error"],
-                                       "content": [str(e)]})
+                    # raise into the caller's per-chunk catch, which
+                    # emits the reference's error block (extractor) or
+                    # drops the chunk (filter). Returning a JSON error
+                    # payload here instead would be re-marked
+                    # error=False by the force-JSON parse rung.
+                    raise
 
 
 class DeterministicFilterClient:
@@ -329,8 +337,21 @@ class LLMExtractionSpark:
         out = []
         for ix, chunk in enumerate(chunks):
             prompt = self._prompt(url, chunk)
-            resp = self.client.complete(prompt)
-            for b in parse_blocks(resp, self.force_json_response):
+            try:
+                resp = self.client.complete(prompt)
+                blocks = parse_blocks(resp, self.force_json_response)
+            except Exception as e:
+                # the reference's outer per-chunk catch (extraction_
+                # strategy.py:702-710): a client failure — including
+                # BackoffClient's exhausted-retry raise — becomes one
+                # error block on EVERY parse path (the force-JSON rung
+                # would otherwise re-mark a JSON error payload as
+                # error=False, exactly as the reference's own :679
+                # overwrite would)
+                resp = ""
+                blocks = [{"index": ix, "error": True, "tags": ["error"],
+                           "content": str(e)}]
+            for b in blocks:
                 content = b.get("content", [])
                 if not isinstance(content, list):
                     content = [str(content)]
@@ -403,7 +424,12 @@ class LLMContentFilterSpark:
                 "{REQUEST}", self.instruction
                 or "Convert this HTML into clean, relevant markdown, "
                    "removing any noise or irrelevant content.")
-            resp = self.client.complete(prompt)
+            try:
+                resp = self.client.complete(prompt)
+            except Exception:
+                # reference per-chunk catch: log-and-drop the chunk
+                # (content_filter_strategy.py:1034-1041)
+                continue
             md = extract_xml_data(["content"], resp)["content"]
             if md:
                 out.append({"chunk_ix": ix, "markdown": md,

@@ -217,7 +217,20 @@ class PdfDocument:
 
     # -- parsing ----------------------------------------------------------
     def _scan_objects(self, data: bytes) -> None:
+        # Two passes: object headers can appear as bytes INSIDE a
+        # compressed stream payload (they must not clobber the real
+        # object map), and a stream's /Length may be an indirect
+        # reference to an object defined LATER in the file (the common
+        # streaming-writer layout) — so pass 1 records every object and
+        # each stream's extent (skipping matches that fall inside a
+        # previously-identified payload), and pass 2 re-slices the
+        # streams whose /Length only became resolvable once the whole
+        # object map existed.
+        pending: list[tuple[int, int, object]] = []
+        skip_until = 0
         for m in _OBJ_RE.finditer(data):
+            if m.start() < skip_until:
+                continue  # bytes inside an already-identified payload
             num = int(m.group(1))
             try:
                 val, i = _parse_value(data, m.end())
@@ -231,14 +244,28 @@ class PdfDocument:
                     i += 2
                 elif data[i:i + 1] == b"\n":
                     i += 1
-                length = self.resolve(val.get("/Length", 0)) \
-                    if isinstance(val, dict) else 0
-                raw = data[i:i + int(length)]
-                end = data.find(b"endstream", i + int(length))
-                if end == -1:  # damaged /Length: scan
+                length = val.get("/Length", 0) if isinstance(val, dict) else 0
+                if isinstance(length, (int, float)) and length:
+                    raw = data[i:i + int(length)]
+                    end = data.find(b"endstream", i + int(length))
+                    if end == -1:  # damaged /Length: scan
+                        end = data.find(b"endstream", i)
+                        raw = data[i:end].rstrip(b"\r\n")
+                else:
+                    # indirect or missing /Length: provisional scan to
+                    # the next endstream; pass 2 refines once the
+                    # referenced object is in the map
                     end = data.find(b"endstream", i)
                     raw = data[i:end].rstrip(b"\r\n")
+                    pending.append((num, i, length))
                 self.streams[num] = raw
+                skip_until = max(skip_until, i + len(raw))
+        for num, i, length in pending:
+            resolved = self.resolve(length)
+            if isinstance(resolved, (int, float)) and resolved:
+                raw = data[i:i + int(resolved)]
+                if data.find(b"endstream", i + int(resolved)) != -1:
+                    self.streams[num] = raw
 
     def _find_trailer(self, data: bytes) -> dict:
         last = {}
@@ -647,6 +674,10 @@ def pdf_text_to_html(page_number: int, text: str) -> str:
         elif kind == "quote":
             out.append(f"<blockquote><p>{_html.escape(val)}</p></blockquote>")
         else:
+            # the split can never fire here (flush collapses paragraph
+            # whitespace first) — kept verbatim from the reference's
+            # clean_pdf_text_to_html (utils.py:104), where it is
+            # equally unreachable, for structural parity
             paras = "".join(f"<p>{p}</p>" for p in val.split(".\n\n"))
             out.append(f'<div class="paragraph">{paras}</div><hr/>')
     return _postprocess("\n".join(out), html_mode=True)
@@ -674,6 +705,12 @@ def build_pdf(pages: list[list[str]], title: str = "", author: str = "",
     when ``compress`` so parsers must really inflate."""
     links = links or [[] for _ in pages]
     images = images or [[] for _ in pages]
+    if len(links) != len(pages) or len(images) != len(pages):
+        # zip would silently truncate trailing pages out of the /Kids
+        # array, corrupting the fixture corpus the oracles round-trip
+        raise ValueError(
+            f"links ({len(links)}) and images ({len(images)}) must have "
+            f"one entry per page ({len(pages)})")
     objs: list[bytes] = []          # bodies, object number = index+1
 
     def add(body: bytes) -> int:
@@ -807,7 +844,18 @@ def process_pdfs(df: DataFrame, id_col: str = "doc_id",
         for pdf in batches:
             rows = []
             for did, blob in zip(pdf[id_col], pdf[blob_col]):
-                for page in process_pdf(bytes(blob)):
+                if blob is None:
+                    continue  # upstream fetch miss — nullable column
+                try:
+                    pages = process_pdf(bytes(blob))
+                except Exception:
+                    # one corrupt blob must not fail the stage: the
+                    # reference logs and continues per document
+                    # (processor.py:189-190); a truncated flate stream,
+                    # an unsupported filter, or a malformed operand
+                    # skips that document only
+                    continue
+                for page in pages:
                     rows.append({"doc_id": str(did), **page})
             yield pd.DataFrame(
                 rows, columns=[f.name for f in PDF_PAGE_SCHEMA.fields])

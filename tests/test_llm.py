@@ -218,12 +218,18 @@ def test_backoff_client_retries_and_degrades():
     assert "ok" in c.complete("p")
     assert sleeps == [2.0, 4.0]
 
-    # exhausted: returns an error payload the parse ladder turns into
-    # exactly one error block — the chunk degrades, the task survives
+    # exhausted: RAISES into the caller's per-chunk catch (a returned
+    # JSON error payload would be re-marked error=False by the
+    # force-JSON parse rung — the reference's own :679 overwrite)
     c2 = BackoffClient(Flaky(99), max_attempts=3, base_delay=1.0,
                        sleep=sleeps.append)
-    blocks = parse_blocks(c2.complete("p"))
-    assert blocks == [{"error": True, "tags": ["error"], "content": ["429"]}]
+    with pytest.raises(RateLimitError):
+        c2.complete("p")
+
+    # max_attempts below 1 still makes exactly one attempt (an
+    # implicit-None return would crash the parse ladder downstream)
+    c3 = BackoffClient(Flaky(0), max_attempts=0, sleep=lambda s: None)
+    assert "ok" in c3.complete("p")
 
     # non-rate-limit errors propagate
     class Broken:
@@ -232,3 +238,34 @@ def test_backoff_client_retries_and_degrades():
 
     with pytest.raises(ValueError):
         BackoffClient(Broken(), sleep=lambda s: None).complete("p")
+
+
+def test_rate_limited_chunk_degrades_per_chunk_on_every_parse_path():
+    """Exhausted retries must surface as error=True blocks under BOTH
+    force_json_response settings (the masking the review caught), and
+    the filter must drop the chunk like the reference's per-chunk
+    catch."""
+    from crawl4ai_spark.extraction.llm import (
+        BackoffClient,
+        LLMContentFilterSpark,
+        LLMExtractionSpark,
+        RateLimitError,
+    )
+
+    class AlwaysLimited:
+        def complete(self, prompt):
+            raise RateLimitError("429")
+
+    for force in (False, True):
+        strat = LLMExtractionSpark(
+            client=BackoffClient(AlwaysLimited(), max_attempts=2,
+                                 sleep=lambda s: None),
+            force_json_response=force)
+        rows = strat.extract_doc("https://x.test/", ["some words here"])
+        assert len(rows) == 1 and rows[0]["error"] is True, (force, rows)
+        assert "429" in rows[0]["content"][0]
+
+    filt = LLMContentFilterSpark(
+        client=BackoffClient(AlwaysLimited(), max_attempts=2,
+                             sleep=lambda s: None))
+    assert filt.filter_doc("<p>hello world</p>") == []

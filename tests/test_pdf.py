@@ -284,3 +284,69 @@ def test_png_predictor_flate_stream():
     doc = PdfDocument(body)
     from crawl4ai_spark.extraction.pdf import Ref
     assert doc.stream_data(Ref(4)) == row1 + row2
+
+
+# ---------------------------------------------------------------------------
+# hardening (round-5 review findings)
+# ---------------------------------------------------------------------------
+
+def test_indirect_forward_length_reference():
+    """A stream whose /Length is an indirect ref to an object defined
+    LATER in the file (the streaming-writer layout) must still parse."""
+    data = build_pdf([["hello forward length"]], compress=False)
+    # rewrite: find the first content stream object, point its /Length
+    # at a new trailing object holding the number
+    import re as _re
+    m = _re.search(rb"<< /Length (\d+) >>\nstream\n", data)
+    assert m
+    length = int(m.group(1))
+    # highest existing object number
+    top = max(int(n) for n in _re.findall(rb"(\d+) \d+ obj", data))
+    new_num = top + 1
+    patched = (data[:m.start()]
+               + b"<< /Length %d 0 R >>\nstream\n" % new_num
+               + data[m.end():])
+    patched += b"\n%d 0 obj %d endobj\n" % (new_num, length)
+    pages = process_pdf(patched)
+    assert pages and "hello forward length" in pages[0]["raw_text"]
+
+
+def test_object_header_bytes_inside_stream_do_not_clobber():
+    """Bytes that look like 'N 0 obj <val>' inside a stream payload
+    must not overwrite the real object N."""
+    data = build_pdf([["stream body junk test"]], compress=False)
+    # splice a fake redefinition of object 1 (the font) into the
+    # middle of the (uncompressed) content stream text
+    marker = b"stream body junk test"
+    fake = b" 1 0 obj 7 "
+    patched = data.replace(marker, marker[:6] + fake + marker[6:], 1)
+    # fix the stream's /Length for the inserted bytes so the extent is
+    # still exact
+    import re as _re
+    m = _re.search(rb"<< /Length (\d+) >>\nstream\n", patched)
+    patched = (patched[:m.start(1)]
+               + str(int(m.group(1)) + len(fake)).encode()
+               + patched[m.end(1):])
+    doc = PdfDocument(patched)
+    assert isinstance(doc.objects[1], dict), doc.objects[1]
+    assert doc.objects[1].get("/Type") == "/Font"
+
+
+def test_build_pdf_rejects_ragged_links():
+    with pytest.raises(ValueError):
+        build_pdf([["a"], ["b"]], links=[["https://x.test/"]])
+
+
+def test_process_pdfs_contains_bad_rows(spark):
+    """NULL blobs and corrupt blobs must not fail the stage — good
+    documents still come through."""
+    good = build_pdf([["good page"]])
+    truncated_flate = build_pdf([["x" * 50]], compress=True)[:-40]
+    rows = [("g", bytearray(good)),
+            ("n", None),
+            ("junk", bytearray(b"%PDF-1.4 not really")),
+            ("trunc", bytearray(truncated_flate))]
+    df = spark.createDataFrame(rows, "doc_id string, pdf binary")
+    out = process_pdfs(df).collect()
+    assert {r.doc_id for r in out} <= {"g", "junk", "trunc"}
+    assert any(r.doc_id == "g" and "good page" in r.raw_text for r in out)
