@@ -36,13 +36,32 @@ class CorpusFetcher:
     partitioning and skip the corpus-side shuffle.
     """
 
-    def __init__(self, corpus: DataFrame):
+    def __init__(self, corpus: DataFrame, dedupe: bool = False):
+        """``dedupe=True`` collapses a multi-snapshot archive to one
+        row per URL (prefer status 200, then longest body, then lowest
+        fetch_ms — deterministic, unlike dropDuplicates) so the left
+        join cannot fan frontier rows out. Off by default: the built
+        corpora are unique by construction and the window would be
+        pure overhead on the hot path (over a co-partitioned corpus it
+        adds no exchange, only the sort)."""
         self.corpus = corpus.select(
             F.col("url_norm").alias("__c_url"),
             F.col("html").alias("html"),
             F.col("status_code").alias("status_code"),
             F.col("fetch_ms").alias("fetch_ms"),
         )
+        if dedupe:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("__c_url").orderBy(
+                F.when(F.col("status_code") == 200, 0).otherwise(1).asc(),
+                F.length("html").desc(), F.col("fetch_ms").asc(),
+                F.col("html").asc(),
+            )
+            self.corpus = (
+                self.corpus.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1).drop("__rn")
+            )
 
     def fetch(self, frontier: DataFrame) -> DataFrame:
         out = frontier.join(
@@ -111,6 +130,15 @@ class HttpFetcher:
             import urllib.request
             from concurrent.futures import ThreadPoolExecutor
 
+            # import once per worker batch, not per URL: a FAILED
+            # import is not cached by Python, so an in-call `import
+            # chardet` would re-scan sys.path for every charset-less
+            # response
+            try:
+                import chardet
+            except ImportError:
+                chardet = None
+
             def decode(body: bytes, headers) -> str:
                 # the reference's charset ladder (async_crawler_strategy
                 # .py:2330-2336): response charset from the Content-Type
@@ -121,11 +149,11 @@ class HttpFetcher:
                     enc = headers.get_content_charset()
                 except Exception:
                     pass
-                if not enc:
+                if not enc and chardet is not None:
                     try:
-                        import chardet
-
-                        enc = chardet.detect(body)["encoding"]
+                        # detection over a bounded prefix — chardet on a
+                        # full 8 MB body costs seconds per page
+                        enc = chardet.detect(body[:64 * 1024])["encoding"]
                     except Exception:
                         enc = None
                 try:
@@ -135,8 +163,12 @@ class HttpFetcher:
 
             def one(u: str):
                 t0 = time.monotonic()
-                target = rewrite(u) if rewrite is not None else u
                 try:
+                    # inside the try: a malformed authority (e.g. an
+                    # unclosed IPv6 bracket) raises from urlsplit in
+                    # the rewrite — that is a status-0 ROW, never a
+                    # task death
+                    target = rewrite(u) if rewrite is not None else u
                     req = urllib.request.Request(
                         target, headers={"User-Agent": ua}
                     )
@@ -216,7 +248,9 @@ class SchemeFetcher:
                             with open(path, encoding="utf-8", errors="replace") as f:
                                 htmls.append(f.read())
                             statuses.append(200)
-                        except OSError:
+                        except (OSError, ValueError):
+                            # ValueError: embedded NUL in a decoded
+                            # path — row-level 404, not a task death
                             htmls.append(""); statuses.append(404)
                 out = pdf.copy()
                 out["html"], out["status_code"] = htmls, statuses
@@ -259,9 +293,16 @@ class CachedFetcher:
         # never dropDuplicates, whose survivor depends on task order
         from pyspark.sql import Window
 
+        # success rows outrank everything (a plain status asc would put
+        # a transport-failure status 0 — or a NULL — ahead of 200 and
+        # serve a permanent empty hit), then best status, then body
         order = (
             [F.col("round").desc()] if "round" in self.cache.columns else []
-        ) + [F.col("status_code").asc(), F.length("html").desc(), F.col("html").asc()]
+        ) + [
+            F.when(F.col("status_code") == 200, 0).otherwise(1).asc(),
+            F.coalesce(F.col("status_code"), F.lit(2 ** 31 - 1)).asc(),
+            F.length("html").desc(), F.col("html").asc(),
+        ]
         w = Window.partitionBy("__c_url").orderBy(*order)
         c = (
             self.cache.select(

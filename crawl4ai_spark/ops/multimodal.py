@@ -61,6 +61,11 @@ def _ppm_header(blob: bytes):
             vals.append(int(blob[i:j]))
             i = j
     i += 1  # exactly one whitespace separates maxval from the raster
+    # a Windows text-mode writer emits CRLF as that separator: treat
+    # the pair as one logical newline, or the raster decodes shifted
+    # by one byte with no error
+    if blob[i - 1:i] == b"\r" and blob[i:i + 1] == b"\n":
+        i += 1
     w, h, maxval = vals
     return blob[:2], w, h, maxval, i
 
@@ -241,10 +246,14 @@ def frame_sample_plan(blobs: DataFrame, every_ms: int = 1000) -> DataFrame:
     sequence + explode over duration metadata — is the real Spark-side
     shape and is fully tested.
     """
-    return blobs.where(F.col("kind") == "video").select(
+    dur = F.coalesce(F.col("meta.duration_ms"), F.lit(0))
+    return blobs.where((F.col("kind") == "video") & (dur > 0)).select(
         "doc_id", "media_ref",
+        # dur > 0 is filtered above: a NULL/0 duration (missing
+        # metadata) plans NO frames — sequence(0, 0) would otherwise
+        # emit a phantom frame at ts 0 for zero-length content
         F.explode(
-            F.sequence(F.lit(0), F.greatest(F.coalesce(F.col("meta.duration_ms"), F.lit(0)) - 1, F.lit(0)), F.lit(every_ms))
+            F.sequence(F.lit(0), dur - 1, F.lit(every_ms))
         ).alias("frame_ts_ms"),
     )
 

@@ -5246,12 +5246,18 @@ def cache_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(200).alias("status_code"),
     )
     # duplicate cache rows for every 8th URL: worse status -> the pick
-    # window (status asc) must keep the good row
+    # window must keep the good row; every 16th additionally carries a
+    # status-0 transport-failure duplicate, which a plain status-asc
+    # order would wrongly serve ahead of the 200 row
     bad = docs.where(i % 8 == 0).select(
         url_expr(i).alias("url_norm"),
         F.lit("<html>stale</html>").alias("html"),
         F.lit(500).alias("status_code"),
-    )
+    ).unionByName(docs.where(i % 16 == 0).select(
+        url_expr(i).alias("url_norm"),
+        F.lit("").alias("html"),
+        F.lit(0).alias("status_code"),
+    ))
     fetcher = CachedFetcher(
         CorpusFetcher(build_corpus(
             docs.crossJoin(F.broadcast(cnt)), n_docs=F.col("__n"))),

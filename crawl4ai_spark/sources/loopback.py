@@ -109,6 +109,12 @@ class CorpusHTTPServer:
             self._httpd.shutdown()
             self._httpd.server_close()
             self._httpd = None
+        # purge the singleton registry: a later corpus_server() call
+        # must start a fresh server, not hand back this dead one with
+        # a stale port (every fetch would come back status 0)
+        for key, srv in list(_SERVERS.items()):
+            if srv is self:
+                del _SERVERS[key]
 
     def rewrite(self):
         """Picklable url_rewrite for HttpFetcher: keep the canonical URL

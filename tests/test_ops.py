@@ -216,3 +216,28 @@ def test_multimodal_plumbing(spark):
 
     resize = multimodal.resize_plan(blobs, max_side=256).collect()
     assert (resize[0].target_w, resize[0].target_h) == (256, 128)
+
+
+def test_frame_plan_skips_unknown_duration(spark):
+    from crawl4ai_spark.ops import multimodal
+
+    blobs = spark.createDataFrame(
+        [("d1", "m1", "video", b"x", ("mp4", 0, 0, 0)),
+         ("d2", "m2", "video", b"y", ("mp4", 0, 0, None)),
+         ("d3", "m3", "video", b"z", ("mp4", 0, 0, 1500))],
+        multimodal.MEDIA_BLOB_SCHEMA)
+    rows = multimodal.frame_sample_plan(blobs, every_ms=1000).collect()
+    # zero/NULL duration plans NO frames (no phantom ts-0 row)
+    assert sorted((r.doc_id, r.frame_ts_ms) for r in rows) == [
+        ("d3", 0), ("d3", 1000)]
+
+
+def test_ppm_header_crlf_separator(spark):
+    import numpy as np
+
+    from crawl4ai_spark.ops import multimodal
+
+    raster = bytes(range(12))
+    crlf = b"P6 2 2\r\n255\r\n" + raster
+    px = multimodal.decode_real(crlf, "image")
+    assert px.shape == (2, 2, 3) and px.ravel().tolist() == list(range(12))

@@ -174,3 +174,76 @@ def test_stream_dedup_exactly_once(spark, tmp_path):
     got = spark.sql("SELECT event_id FROM dedup_once").collect()
     ids = sorted(r.event_id for r in got)
     assert ids == [1, 2, 3]
+
+
+def test_cached_fetcher_never_serves_failure_over_success(spark):
+    """Duplicate cache rows where a transport failure (status 0) and a
+    NULL status sit next to the 200 row: the pick must serve the
+    success body (a plain status-asc order served the failure)."""
+    corpus = spark.createDataFrame(
+        [("http://x.test/a", "<live>", 200, 1)],
+        "url_norm string, html string, status_code int, fetch_ms int")
+    cache = spark.createDataFrame(
+        [("http://x.test/a", "", 0),
+         ("http://x.test/a", None, None),
+         ("http://x.test/a", "<cached>", 200),
+         ("http://x.test/a", "<stale>", 500)],
+        "url_norm string, html string, status_code int")
+    frontier = spark.createDataFrame(
+        [("http://x.test/a",)], "url_norm string")
+    rows = CachedFetcher(CorpusFetcher(corpus), cache).fetch(frontier).collect()
+    assert len(rows) == 1
+    assert rows[0].from_cache and rows[0].status_code == 200
+    assert rows[0].html == "<cached>"
+
+
+def test_corpus_fetcher_dedupe_collapses_snapshots(spark):
+    corpus = spark.createDataFrame(
+        [("http://x.test/a", "<old body>", 200, 9),
+         ("http://x.test/a", "<newer longer body>", 200, 5),
+         ("http://x.test/a", "", 503, 1)],
+        "url_norm string, html string, status_code int, fetch_ms int")
+    frontier = spark.createDataFrame(
+        [("http://x.test/a",)], "url_norm string")
+    rows = CorpusFetcher(corpus, dedupe=True).fetch(frontier).collect()
+    assert len(rows) == 1 and rows[0].html == "<newer longer body>"
+    # without dedupe the join fans out — the documented multi-snapshot
+    # hazard this flag exists for
+    assert len(CorpusFetcher(corpus).fetch(frontier).collect()) == 3
+
+
+def test_http_fetcher_malformed_url_is_a_row_not_a_crash(spark):
+    """A URL whose authority breaks urlsplit inside the rewrite must
+    produce a status-0 row, not a task death."""
+    from crawl4ai_spark.engine.fetch import HttpFetcher
+    from crawl4ai_spark.sources.loopback import make_rewrite
+
+    frontier = spark.createDataFrame(
+        [("http://[bad-host/page/1",)], "url_norm string")
+    rows = HttpFetcher(url_rewrite=make_rewrite(1)).fetch(frontier).collect()
+    assert len(rows) == 1 and rows[0].status_code == 0
+
+
+def test_scheme_fetcher_nul_path_is_row_level_404(spark, tmp_path):
+    from crawl4ai_spark.engine.fetch import SchemeFetcher
+
+    corpus = spark.createDataFrame(
+        [("http://x.test/", "<x>", 200, 1)],
+        "url_norm string, html string, status_code int, fetch_ms int")
+    frontier = spark.createDataFrame(
+        [("file:///tmp/a%00b",)], "url_norm string")
+    rows = SchemeFetcher(CorpusFetcher(corpus)).fetch(frontier).collect()
+    assert len(rows) == 1 and rows[0].status_code == 404
+
+
+def test_loopback_stop_purges_registry():
+    from crawl4ai_spark.sources import loopback
+
+    srv = loopback.corpus_server("/root/testdata/sf0.001")
+    port = srv.port
+    srv.stop()
+    srv2 = loopback.corpus_server("/root/testdata/sf0.001")
+    try:
+        assert srv2 is not srv and srv2._httpd is not None
+    finally:
+        srv2.stop()
