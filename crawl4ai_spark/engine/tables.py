@@ -97,7 +97,11 @@ class SnapshotTable:
         dirs = [os.path.join(self.path, d) for d in m["data"]]
         if self._schema is not None:
             return spark.read.schema(self._schema).parquet(*dirs)
-        df = spark.read.parquet(*dirs)
+        # re-infer path (no declared/cached schema — e.g. right after a
+        # mixed-schema append invalidated the cache): merge footers, or
+        # inference would take ONE arbitrary file's schema and silently
+        # drop columns the other dirs carry
+        df = spark.read.option("mergeSchema", "true").parquet(*dirs)
         self._schema = _nullable(df.schema)
         return df
 
@@ -176,17 +180,19 @@ class SnapshotTable:
         self._schema = None  # arrow-written dir: re-infer on next read
         return m["version"]
 
-    def merge_on_key(self, spark: SparkSession, df: DataFrame, key: str) -> int:
+    def merge_on_key(self, spark: SparkSession, df: DataFrame,
+                     key: str | list[str]) -> int:
         """Upsert semantics (Iceberg `MERGE INTO ... ON key`): new rows win.
 
         Test-scale implementation rewrites the table; at 100 TB this is
         a real MERGE with partition-level pruning — the engine only
         calls it for dimension-sized tables (host_state, robots).
         """
+        keys = [key] if isinstance(key, str) else list(key)
         cur = self.read(spark)
         if cur is None:
             return self.overwrite(df)
-        merged = cur.join(df.select(key), key, "left_anti").unionByName(df)
+        merged = cur.join(df.select(*keys), keys, "left_anti").unionByName(df)
         # safe ordering: overwrite() writes the new data dir (reading the
         # old dirs, still present) before the commit+cleanup
         return self.overwrite(merged)

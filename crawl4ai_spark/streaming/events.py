@@ -87,18 +87,33 @@ def stream_dedup(
 
 
 def stream_to_table(stream_df: DataFrame, table, checkpoint_dir: str,
-                    trigger_available_now: bool = True):
+                    trigger_available_now: bool = True,
+                    key_cols: list[str] | None = None):
     """foreachBatch bridge into the engine's snapshot tables: each
-    micro-batch appends atomically, so the streaming path shares the
-    batch path's checkpoint/resume semantics (and its readers)."""
+    micro-batch commits atomically, so the streaming path shares the
+    batch path's checkpoint/resume semantics (and its readers).
+
+    Update-mode aggregates re-emit a key's row every micro-batch it
+    changes in, so pass ``key_cols`` for aggregated streams — each
+    batch then UPSERTS (new row wins) and the table holds exactly one
+    current row per key. Without keys the batch appends — correct for
+    append-only event feeds (dedup/sessionize outputs), wrong for
+    re-emitting aggregates spanning multiple batches."""
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        if not batch_df.isEmpty():
-            table.append(batch_df)
+        b = batch_df.persist()  # isEmpty + write: one computation
+        try:
+            if not b.isEmpty():
+                if key_cols:
+                    table.merge_on_key(b.sparkSession, b, key_cols)
+                else:
+                    table.append(b)
+        finally:
+            b.unpersist()
 
     writer = (
         stream_df.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint_dir)
-        .outputMode("update" if stream_df.isStreaming else "append")
+        .outputMode("update")
     )
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)

@@ -35,28 +35,47 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import BinaryType
 
 
-def _to_plain(v):
-    """numpy/pandas scalar -> python native so json.dumps accepts it."""
+def _to_plain(v, integral: bool = False):
+    """numpy/pandas value -> python native so json.dumps emits the
+    reference's bytes. Arrow->pandas artifacts handled explicitly:
+    arrays arrive as np.ndarray (``.item()`` would raise on size>1 and
+    silently UNWRAP size 1), structs as dicts, and a null in a numeric
+    column turns the whole column float64 with NaN — NaN must become
+    JSON null (the bare token ``NaN`` is not JSON), and an integral
+    column's values must serialize as ints again, not 5.0."""
+    if v is None or (isinstance(v, float) and v != v):
+        return None
+    if isinstance(v, dict):
+        return {k: _to_plain(x) for k, x in v.items()}
+    if hasattr(v, "tolist") and getattr(v, "ndim", 0):
+        return [_to_plain(x) for x in v.tolist()]
     if hasattr(v, "item"):
-        return v.item()
+        v = v.item()
+    if integral and isinstance(v, float):
+        return int(v)
     if isinstance(v, (list, tuple)):
         return [_to_plain(x) for x in v]
     return v
 
 
-@pandas_udf(BinaryType())
-def _json_value_udf(values: pd.DataFrame) -> pd.Series:
-    out = []
-    for row in values.to_dict(orient="records"):
-        try:
-            out.append(
-                json.dumps({k: _to_plain(v) for k, v in row.items()},
-                           ensure_ascii=False).encode("utf-8")
-            )
-        except (TypeError, OverflowError):
-            # producer.py:111-112 — unserializable value: skip the message
-            out.append(None)
-    return pd.Series(out, dtype=object)
+def _make_json_value_udf(integral_cols: frozenset):
+    @pandas_udf(BinaryType())
+    def _json_value_udf(values: pd.DataFrame) -> pd.Series:
+        out = []
+        for row in values.to_dict(orient="records"):
+            try:
+                out.append(
+                    json.dumps({k: _to_plain(v, k in integral_cols)
+                                for k, v in row.items()},
+                               ensure_ascii=False).encode("utf-8")
+                )
+            except (TypeError, OverflowError, ValueError):
+                # producer.py:111-112 — unserializable value: skip the
+                # message
+                out.append(None)
+        return pd.Series(out, dtype=object)
+
+    return _json_value_udf
 
 
 def kafka_messages(df: DataFrame, topic: str, key_col: str,
@@ -66,10 +85,23 @@ def kafka_messages(df: DataFrame, topic: str, key_col: str,
     Null keys and serialization failures drop the row (producer.py's
     KeyError / TypeError skip paths) — the rest of the batch survives.
     """
+    from pyspark.sql.types import BooleanType, ByteType, IntegerType, \
+        LongType, ShortType
+
+    integral = frozenset(
+        f.name for f in df.select(*value_cols).schema.fields
+        if isinstance(f.dataType, (ByteType, ShortType, IntegerType,
+                                   LongType))
+    )
+    key_expr = F.col(key_col)
+    if isinstance(df.schema[key_col].dataType, BooleanType):
+        # reference key bytes are str(k).encode() (producer.py:108):
+        # Python str(True) is 'True', Spark's cast is 'true'
+        key_expr = F.when(key_expr, "True").otherwise("False")
     msgs = df.select(
         F.lit(topic).alias("topic"),
-        F.encode(F.col(key_col).cast("string"), "UTF-8").alias("key"),
-        _json_value_udf(F.struct(*value_cols)).alias("value"),
+        F.encode(key_expr.cast("string"), "UTF-8").alias("key"),
+        _make_json_value_udf(integral)(F.struct(*value_cols)).alias("value"),
     )
     return msgs.where(F.col("key").isNotNull() & F.col("value").isNotNull())
 
@@ -117,19 +149,31 @@ class TopicLog:
         order — so consumers of the stand-in log observe the same
         ordering the reference middleware's sequential produce() loop
         (producer.py:104-116) would yield."""
-        seq = messages.withColumn("__seq", F.monotonically_increasing_id())
-        topics = [r.topic for r in messages.select("topic").distinct().collect()]
-        for topic in topics:
-            self.ensure_topic(topic)
-            base = self.next_offset(topic)
-            batch = seq.where(F.col("topic") == topic)
-            from pyspark.sql import Window
-            w = Window.orderBy(F.col("__seq").asc())
-            out = batch.select(
-                (F.lit(base) + F.row_number().over(w) - 1).alias("offset"),
-                "key", "value",
-            )
-            out.write.mode("append").parquet(self._dir(topic))
+        # one materialization of the serialization UDF: the distinct-
+        # topics collect and every per-topic write read the SAME
+        # persisted frame instead of recomputing the lineage T+1 times
+        seq = messages.withColumn(
+            "__seq", F.monotonically_increasing_id()).persist()
+        try:
+            topics = [r.topic
+                      for r in seq.select("topic").distinct().collect()]
+            for topic in topics:
+                self.ensure_topic(topic)
+                base = self.next_offset(topic)
+                batch = seq.where(F.col("topic") == topic)
+                from pyspark.sql import Window
+                w = Window.orderBy(F.col("__seq").asc())
+                out = batch.select(
+                    # cast: send_and_wait writes 'offset long'; mixing
+                    # INT32 and INT64 footers in one topic dir breaks
+                    # the schema-inferred read
+                    (F.lit(base) + F.row_number().over(w) - 1)
+                    .cast("long").alias("offset"),
+                    "key", "value",
+                )
+                out.write.mode("append").parquet(self._dir(topic))
+        finally:
+            seq.unpersist()
 
     def send_and_wait(self, topic: str, key: str, value: dict) -> None:
         """Single critical signaling message (producer.py:118-143):
@@ -144,5 +188,13 @@ class TopicLog:
         df.write.mode("append").parquet(self._dir(topic))
 
     def read(self, topic: str) -> DataFrame:
-        """Consume from offset 0: (offset, key, value) in log order."""
-        return self.spark.read.parquet(self._dir(topic)).orderBy("offset")
+        """Consume from offset 0: (offset, key, value) in log order.
+        An existing-but-empty topic yields zero records, like a real
+        consumer on a fresh topic — not an inference error."""
+        d = self._dir(topic)
+        if not os.path.isdir(d) or not any(
+            f.endswith(".parquet") for f in os.listdir(d)
+        ):
+            return self.spark.createDataFrame(
+                [], "offset long, key binary, value binary")
+        return self.spark.read.parquet(d).orderBy("offset")

@@ -69,3 +69,53 @@ def test_send_and_wait_critical_message(spark, log):
     assert json.loads(row.value) == {"task": "crawl", "round": 0}
     with pytest.raises(TypeError):
         log.send_and_wait("signals", "bad", {"x": object()})  # producer.py:141-143 raise
+
+
+def test_wire_bytes_arrays_nulls_and_bool_keys(spark, tmp_path):
+    """Arrow->pandas artifacts must not corrupt the wire: array values
+    serialize as JSON arrays (size-1 included), a null in a long
+    column stays null (not the invalid token NaN) and leaves the
+    other rows' ints as ints, and a boolean key serializes as
+    str(k) like the reference's producer."""
+    import json as _json
+
+    from crawl4ai_spark.streaming.kafka import kafka_messages
+
+    df = spark.createDataFrame(
+        [("u1", ["a"], 5, True),
+         ("u2", ["a", "b"], None, False)],
+        "url string, links array<string>, n long, flag boolean")
+    rows = {r.key: r for r in
+            kafka_messages(df, "t", "url", ["links", "n"]).collect()}
+    v1 = _json.loads(bytes(rows[b"u1"].value))
+    v2 = _json.loads(bytes(rows[b"u2"].value))
+    assert v1 == {"links": ["a"], "n": 5}
+    assert bytes(rows[b"u1"].value) == b'{"links": ["a"], "n": 5}'
+    assert v2 == {"links": ["a", "b"], "n": None}
+
+    keys = {bytes(r.key) for r in
+            kafka_messages(df, "t", "flag", ["n"]).collect()}
+    assert keys == {b"True", b"False"}
+
+
+def test_mixed_send_paths_share_offset_type(spark, tmp_path):
+    """send_and_wait writes offset as long; send() must too, or the
+    topic dir holds conflicting parquet types and reads break."""
+    from crawl4ai_spark.streaming.kafka import TopicLog, kafka_messages
+
+    log = TopicLog(spark, str(tmp_path / "log"))
+    log.send_and_wait("t", "init", {"x": 1})
+    df = spark.createDataFrame([("u1", 7)], "url string, n long")
+    log.send(kafka_messages(df, "t", "url", ["n"]))
+    rows = log.read("t").collect()
+    assert [r.offset for r in rows] == [0, 1]
+    assert log.next_offset("t") == 2
+
+
+def test_read_empty_topic_yields_zero_records(spark, tmp_path):
+    from crawl4ai_spark.streaming.kafka import TopicLog
+
+    log = TopicLog(spark, str(tmp_path / "log2"))
+    log.ensure_topic("fresh")
+    assert log.read("fresh").count() == 0
+    assert log.read("never_created").count() == 0

@@ -247,3 +247,43 @@ def test_loopback_stop_purges_registry():
         assert srv2 is not srv and srv2._httpd is not None
     finally:
         srv2.stop()
+
+
+def test_stream_to_table_upserts_aggregates(spark, tmp_path):
+    """An update-mode aggregate spanning micro-batches must not leave
+    duplicate conflicting rows per key: with key_cols the sink
+    upserts, and the table holds one current row per window key."""
+    import json as _json
+    import os
+
+    from crawl4ai_spark.engine.tables import Warehouse
+    from crawl4ai_spark.streaming.events import (
+        stream_to_table,
+        windowed_event_counts,
+    )
+
+    src = str(tmp_path / "src"); os.makedirs(src)
+    table = Warehouse(str(tmp_path / "wh")).table("agg")
+
+    def feed(name, rows):
+        with open(os.path.join(src, name), "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    def run_batch():
+        stream = (
+            spark.readStream.schema("ts timestamp, event_type string, value double")
+            .json(src)
+        )
+        agg = windowed_event_counts(stream, window="5 minutes")
+        q = stream_to_table(agg, table, str(tmp_path / "ckpt"),
+                            key_cols=["window_start", "event_type"])
+        q.awaitTermination(120)
+
+    feed("a.json", [{"ts": "2026-01-01T00:01:00", "event_type": "x", "value": 1.0},
+                    {"ts": "2026-01-01T00:02:00", "event_type": "x", "value": 2.0}])
+    run_batch()
+    feed("b.json", [{"ts": "2026-01-01T00:03:00", "event_type": "x", "value": 3.0}])
+    run_batch()
+    rows = table.read(spark).collect()
+    assert len(rows) == 1 and rows[0]["n"] == 3, rows
