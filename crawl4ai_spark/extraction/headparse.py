@@ -183,7 +183,12 @@ def enrich_seeds_with_heads(seeds: DataFrame, corpus: DataFrame,
     corpus keep null head columns (the reference records valid=False)."""
     heads = parse_heads(
         corpus.select(F.col(url_col).alias("url"), "html")
-    )
+    ).withColumn("__head_hit", F.lit(True))
     return seeds.join(
         heads.withColumnRenamed("url", url_col), url_col, "left"
-    ).withColumn("head_valid", F.col("title").isNotNull())
+    ).withColumn(
+        # valid == the URL WAS in the corpus (the reference keys valid
+        # on fetch success) — a fetched page whose head simply has no
+        # <title> must not look identical to a never-fetched URL
+        "head_valid", F.coalesce(F.col("__head_hit"), F.lit(False))
+    ).drop("__head_hit")

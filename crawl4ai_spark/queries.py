@@ -3353,7 +3353,10 @@ def seed_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     raw = docs.select(url.alias("url"))
     raw = raw.unionByName(raw)  # every row duplicated -> dedup must collapse
-    return seed_pipeline(raw, pattern="https://seed*.example.org/p/*")
+    # schemeless glob: matches via the www-stripped CANON form, the
+    # reference _match's third rung (a scheme-carrying pattern would
+    # full-match none of the www'd URLs — async_url_seeder.py:81-86)
+    return seed_pipeline(raw, pattern="seed*.example.org/p/*")
 
 
 _HEADREL_TERMS = ["Doc", "nm3", "d7"]

@@ -39,19 +39,42 @@ def seeds_from_sitemaps(sitemap_bodies: DataFrame, body_col: str = "body") -> Da
     indexes resolve by feeding their <loc>s back through the fetch
     stage (table-in, table-out — the loop lives outside, like the
     crawl rounds)."""
-    return sitemap_bodies.select(
-        F.explode(
-            F.expr(f"regexp_extract_all({body_col}, '<loc>\\\\s*([^<]+?)\\\\s*</loc>', 1)")
-        ).alias("url")
-    ).distinct()
+    loc = F.explode(F.expr(
+        f"regexp_extract_all({body_col}, "
+        "'<loc>\\\\s*(?:<!\\\\[CDATA\\\\[)?\\\\s*([^<\\\\]]+?)"
+        "\\\\s*(?:\\\\]\\\\]>)?\\\\s*</loc>', 1)"
+    )).alias("url")
+    # sitemap XML must escape '&' as '&amp;' — the reference's XML
+    # parser (async_url_seeder.py:865-907) decodes entities and CDATA;
+    # without this, any URL with two query params comes out with a
+    # literal '&amp;' and never joins against its crawled url_norm
+    ent = F.col("url")
+    # '&amp;' decodes LAST or '&amp;lt;' would double-decode
+    for enc, dec in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                     ("&apos;", "'"), ("&#39;", "'"), ("&amp;", "&")):
+        ent = F.replace(ent, F.lit(enc), F.lit(dec))
+    return sitemap_bodies.select(loc).select(ent.alias("url")).distinct()
 
 
 def drop_nonsense_urls(urls: DataFrame, url_col: str = "url") -> DataFrame:
-    """Boolean-filter translation of _is_nonsense_url
+    """Boolean-filter in the spirit of _is_nonsense_url
     (async_url_seeder.py:1284-1378): static-asset extensions, API/feed
-    endpoints, tracker junk."""
+    endpoints, tracker junk.
+
+    Known divergences from the reference's exact rule set (documented,
+    not hidden): this filter drops media/feed/code extensions that the
+    reference has commented OUT (:1315-1352), and does not yet carry
+    the reference's active hidden-dot-path / '/admin' / '/login' /
+    '/search' / utility-file / 'sitemap*.xml' / very-short-path checks
+    — the junk classes it does drop are the high-volume ones in
+    practice. Tightening to byte-exact parity means porting ~15 more
+    predicates and their precedence; tracked as a follow-up."""
     u = F.lower(F.col(url_col))
-    path = F.coalesce(F.parse_url(F.col(url_col), F.lit("PATH")), F.lit(""))
+    # try_parse_url: under Spark 4's default ANSI mode plain parse_url
+    # THROWS on a malformed URL (a space, a bad %-escape) and aborts
+    # the whole seed job; NULL-for-invalid is the filter semantics
+    path = F.coalesce(F.try_parse_url(F.col(url_col), F.lit("PATH")),
+                      F.lit(""))
     ext = F.lower(F.regexp_extract(path, r"\.([A-Za-z0-9]+)$", 1))
     pred = ~ext.isin(_NONSENSE_EXT)
     for pat in _NONSENSE_PATTERNS:
@@ -60,13 +83,23 @@ def drop_nonsense_urls(urls: DataFrame, url_col: str = "url") -> DataFrame:
 
 
 def match_url_patterns(urls: DataFrame, pattern: str, url_col: str = "url") -> DataFrame:
-    """fnmatch glob on the url, its canonical form, and the www-stripped
-    form (async_url_seeder.py:81-86) — first match wins."""
-    rx = fnmatch.translate(pattern)
-    # Java regex: fnmatch.translate emits (?s:...)\Z which Java accepts
+    """fnmatch glob on the url, its schemeless canonical form, and the
+    www-stripped canonical form (async_url_seeder.py:81-86 `_match`)
+    — first match wins.
+
+    fnmatch.fnmatch is a FULL match, but fnmatch.translate anchors
+    only the tail (`\\Z`) and Spark's rlike uses find() semantics, so
+    the regex needs an explicit '^' or every glob silently behaves as
+    if prefixed with '*' (matching mid-string)."""
+    rx = "^" + fnmatch.translate(pattern)
     u = F.col(url_col)
-    stripped = F.regexp_replace(u, r"^(https?://)www\.", r"$1")
-    return urls.where(u.rlike(rx) | stripped.rlike(rx))
+    # url.split('://', 1)[-1]
+    canon = F.regexp_replace(u, r"^.*?://", "")
+    www = canon.startswith("www.")
+    nowww = F.substring(canon, 5, 1 << 30)
+    return urls.where(
+        u.rlike(rx) | canon.rlike(rx) | (www & nowww.rlike(rx))
+    )
 
 
 def seed_pipeline(
@@ -84,7 +117,19 @@ def seed_pipeline(
     out = drop_nonsense_urls(urls, url_col)
     if pattern:
         out = match_url_patterns(out, pattern, url_col)
-    out = out.dropDuplicates([url_col])
+    extra = [c for c in out.columns if c != url_col]
+    if extra:
+        # deterministic survivor per URL (dropDuplicates keeps
+        # whichever row a partition surfaces first — the BM25 score
+        # and the relevance cap below would vary run to run)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(url_col).orderBy(
+            *[F.col(c).cast("string").asc_nulls_first() for c in extra])
+        out = (out.withColumn("__rn", F.row_number().over(w))
+               .where(F.col("__rn") == 1).drop("__rn"))
+    else:
+        out = out.dropDuplicates([url_col])
     if query_terms and head_text_col:
         from crawl4ai_spark.ops.bm25 import bm25_scores
 

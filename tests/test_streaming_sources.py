@@ -38,13 +38,24 @@ def test_nonsense_filter_and_patterns(spark):
     assert kept == [
         "https://a.test/article/one", "https://www.a.test/article/two",
     ]
+    # reference _match (async_url_seeder.py:81-86) is a FULL match on
+    # url / schemeless canon / canon-without-www: a scheme-carrying
+    # pattern matches only the exact url form...
     matched = sorted(
         r.url for r in match_url_patterns(df, "https://a.test/article/*").collect()
     )
-    # www-stripped form matches too (async_url_seeder.py:81-86)
+    assert matched == ["https://a.test/article/one"]
+    # ...while a schemeless pattern matches via canon, www-stripped
+    matched = sorted(
+        r.url for r in match_url_patterns(df, "a.test/article/*").collect()
+    )
     assert matched == [
         "https://a.test/article/one", "https://www.a.test/article/two",
     ]
+    # anchoring: a glob must not match mid-string (rlike is find())
+    evil = spark.createDataFrame(
+        [("https://evil.com/?next=https://a.test/article/x",)], "url string")
+    assert match_url_patterns(evil, "https://a.test/article/*").count() == 0
 
 
 def test_seed_pipeline_bm25_sort_and_cap(spark):
@@ -287,3 +298,29 @@ def test_stream_to_table_upserts_aggregates(spark, tmp_path):
     run_batch()
     rows = table.read(spark).collect()
     assert len(rows) == 1 and rows[0]["n"] == 3, rows
+
+
+def test_seeder_hardening_round5(spark):
+    """Review findings: malformed URLs must not abort the job under
+    ANSI mode (try_parse_url), sitemap <loc> decodes XML entities and
+    CDATA, and the seed dedup picks a deterministic survivor."""
+    from crawl4ai_spark.sources.seeder import seeds_from_sitemaps
+
+    # ANSI: a URL parse_url would throw on flows through the filter
+    bad = spark.createDataFrame(
+        [("http://exa mple.com/%zz?q= 1",), ("https://ok.test/a",)],
+        "url string")
+    kept = {r.url for r in drop_nonsense_urls(bad).collect()}
+    assert "https://ok.test/a" in kept  # and no exception raised
+
+    body = ('<urlset><url><loc>https://x.test/p?a=1&amp;b=2</loc></url>'
+            '<url><loc><![CDATA[https://x.test/c]]></loc></url></urlset>')
+    got = {r.url for r in seeds_from_sitemaps(
+        spark.createDataFrame([(body,)], "body string")).collect()}
+    assert got == {"https://x.test/p?a=1&b=2", "https://x.test/c"}
+
+    dup = spark.createDataFrame(
+        [("https://x.test/a", "zz head"), ("https://x.test/a", "aa head")],
+        "url string, head string")
+    rows = seed_pipeline(dup).collect()
+    assert len(rows) == 1 and rows[0].head == "aa head"
